@@ -1,0 +1,80 @@
+"""Writer for the MMseqs2-compatible database format.
+
+Produces a single data file plus text index, sorted by key, and a `.dbtype`
+file — byte-compatible with what the reference DBWriter emits after merge
+(reference: src/commons/DBWriter.{h,cpp}).
+"""
+
+import os
+
+from . import dbtype as dbt
+
+
+class DBWriter:
+    """Single-writer equivalent of the reference multi-threaded DBWriter.
+
+    Entries may be appended in any key order; `close()` writes the index
+    sorted by key. Data entries are written in append order.
+    """
+
+    def __init__(self, data_path: str, base_type: int = dbt.DBTYPE_GENERIC_DB,
+                 extended_type: int = 0):
+        self.data_path = data_path
+        self.index_path = data_path + ".index"
+        self.base_type = base_type
+        self.extended_type = extended_type
+        self._f = open(data_path, "wb")
+        self._entries = []  # (key, offset, length)
+        self._offset = 0
+
+    def write(self, key: int, payload: bytes, add_null: bool = True) -> None:
+        """Write one entry. `payload` should already end with '\\n' for text
+        records; a '\\0' terminator is appended (counted in the stored length,
+        matching the reference)."""
+        self._f.write(payload)
+        n = len(payload)
+        if add_null:
+            self._f.write(b"\0")
+            n += 1
+        self._entries.append((key, self._offset, n))
+        self._offset += n
+
+    def close(self, sort_by_key: bool = True) -> None:
+        self._f.close()
+        entries = self._entries
+        if sort_by_key:
+            entries = sorted(entries, key=lambda e: e[0])
+        with open(self.index_path, "w") as f:
+            f.write("".join(f"{k}\t{o}\t{l}\n" for k, o, l in entries))
+        dbt.write_dbtype(self.data_path, self.base_type, self.extended_type)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def write_lookup(db_path: str, entries) -> None:
+    """entries: iterable of (key, accession, file_number)."""
+    with open(db_path + ".lookup", "w") as f:
+        f.write("".join(f"{k}\t{a}\t{n}\n" for k, a, n in entries))
+
+
+def write_source(db_path: str, sources) -> None:
+    """sources: iterable of (file_number, file_name)."""
+    with open(db_path + ".source", "w") as f:
+        f.write("".join(f"{i}\t{name}\n" for i, name in sources))
+
+
+def remove_db(db_path: str) -> None:
+    """rmdb equivalent: remove data, index, dbtype, lookup, source files."""
+    candidates = [db_path, db_path + ".index", db_path + ".dbtype",
+                  db_path + ".lookup", db_path + ".source"]
+    i = 0
+    while os.path.exists(f"{db_path}.{i}"):
+        candidates.append(f"{db_path}.{i}")
+        i += 1
+    for p in candidates:
+        if os.path.exists(p):
+            os.remove(p)

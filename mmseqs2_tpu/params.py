@@ -1,0 +1,275 @@
+"""Typed command-line parameter system.
+
+Mirrors the semantics of the reference Parameters singleton
+(reference src/commons/Parameters.h:21-95): typed flags with defaults,
+per-command visible subsets, `was_set` tracking, and MultiParam aa/nucl dual
+values ("aa:11,nucl:5" syntax).
+"""
+
+import copy
+import re
+import sys
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional
+
+from .utils import log
+
+
+@dataclass
+class MultiParam:
+    """Dual amino-acid/nucleotide value (reference src/commons/MultiParam.h)."""
+
+    aa: Any
+    nucl: Any
+
+    @classmethod
+    def parse(cls, text: str, typ: Callable = str):
+        if isinstance(text, MultiParam):
+            return text
+        s = str(text)
+        if "aa:" in s or "nucl:" in s:
+            aa = nucl = None
+            for part in s.split(","):
+                part = part.strip()
+                if part.startswith("aa:"):
+                    aa = typ(part[3:])
+                elif part.startswith("nucl:"):
+                    nucl = typ(part[5:])
+                elif part.startswith("seq:") or part.startswith("prof:"):
+                    # k-score style seq/prof MultiParam; store as aa/nucl slots
+                    if part.startswith("seq:"):
+                        aa = typ(part[4:])
+                    else:
+                        nucl = typ(part[5:])
+            return cls(aa, nucl)
+        v = typ(s)
+        return cls(v, v)
+
+    def __str__(self):
+        return f"aa:{self.aa},nucl:{self.nucl}"
+
+
+@dataclass
+class Param:
+    name: str           # e.g. "--max-seqs"
+    attr: str           # python attribute name, e.g. "max_seqs"
+    typ: Any            # int, float, str, bool, or ("multi", subtype)
+    default: Any
+    description: str = ""
+    category: int = 0   # 1=common, 2=expert
+    was_set: bool = field(default=False, compare=False)
+
+    def parse_value(self, text: str):
+        if self.typ is bool:
+            return bool(int(text))
+        if isinstance(self.typ, tuple) and self.typ[0] == "multi":
+            return MultiParam.parse(text, self.typ[1])
+        return self.typ(text)
+
+
+class ParamRegistry:
+    """All known parameters; commands reference subsets by attr name."""
+
+    def __init__(self):
+        self._params: Dict[str, Param] = {}
+
+    def add(self, name, attr, typ, default, description="", category=1):
+        p = Param(name, attr, typ, default, description, category)
+        self._params[name] = p
+        return p
+
+    def by_flag(self, flag: str) -> Optional[Param]:
+        return self._params.get(flag)
+
+    def all(self):
+        return list(self._params.values())
+
+
+REGISTRY = ParamRegistry()
+_A = REGISTRY.add
+
+# -- global/common ---------------------------------------------------------------
+_A("-v", "verbosity", int, 3, "verbosity level 0-3")
+_A("--threads", "threads", int, 0, "CPU threads (0 = all)")
+_A("--compressed", "compressed", int, 0, "write compressed output")
+_A("--max-seq-len", "max_seq_len", int, 65535, "maximum sequence length")
+_A("--sub-mat", "sub_mat", ("multi", str),
+   MultiParam("blosum62.out", "nucleotide.out"), "substitution matrix")
+_A("--seed-sub-mat", "seed_sub_mat", ("multi", str),
+   MultiParam("VTML80.out", "nucleotide.out"), "k-mer seed substitution matrix")
+_A("--gap-open", "gap_open", ("multi", int), MultiParam(11, 5), "gap open penalty")
+_A("--gap-extend", "gap_extend", ("multi", int), MultiParam(1, 2), "gap extend penalty")
+_A("--db-load-mode", "db_load_mode", int, 0, "database preload mode")
+_A("--remove-tmp-files", "remove_tmp_files", bool, True, "delete temporary files")
+_A("--force-reuse", "force_reuse", bool, False, "reuse tmp files from previous runs")
+
+# -- createdb ----------------------------------------------------------------------
+_A("--dbtype", "dbtype", int, 0, "0: auto, 1: amino acid, 2: nucleotides")
+_A("--shuffle", "shuffle", bool, True, "shuffle the input database")
+_A("--createdb-mode", "createdb_mode", int, 0, "0: copy data, 1: soft-link")
+_A("--write-lookup", "write_lookup", int, 1, "write .lookup file")
+_A("--id-offset", "id_offset", int, 0, "numeric id offset")
+
+# -- prefilter ---------------------------------------------------------------------
+_A("-s", "sensitivity", float, 5.7, "sensitivity: 1.0 fast .. 7.5 sensitive")
+_A("-k", "kmer_size", int, 0, "k-mer length (0: auto)")
+_A("--k-score", "k_score", ("multi", int), MultiParam(2147483647, 2147483647),
+   "k-mer threshold")
+_A("--alph-size", "alph_size", ("multi", int), MultiParam(21, 5), "alphabet size")
+_A("--max-seqs", "max_seqs", int, 300, "max prefilter results per query")
+_A("--split", "split", int, 0, "split database (0: auto)")
+_A("--split-mode", "split_mode", int, 2, "0: target 1: query 2: auto")
+_A("--split-memory-limit", "split_memory_limit", str, "0", "RAM per split")
+_A("--comp-bias-corr", "comp_bias_corr", bool, True, "composition bias correction")
+_A("--comp-bias-corr-scale", "comp_bias_corr_scale", float, 1.0,
+   "composition bias correction scale")
+_A("--diag-score", "diag_score", bool, True, "ungapped diagonal rescoring")
+_A("--exact-kmer-matching", "exact_kmer_matching", int, 0,
+   "only exact k-mer matches")
+_A("--mask", "mask", int, 1, "low-complexity masking of the index")
+_A("--mask-prob", "mask_prob", float, 0.9, "tantan masking probability")
+_A("--mask-lower-case", "mask_lower_case", int, 0, "mask lowercase residues")
+_A("--mask-n-repeat", "mask_n_repeat", int, 0, "mask N-repeats")
+_A("--min-ungapped-score", "min_ungapped_score", int, 15,
+   "minimum ungapped diagonal score")
+_A("--add-self-matches", "add_self_matches", bool, False,
+   "artificially add query self-hits")
+_A("--spaced-kmer-mode", "spaced_kmer_mode", int, 1, "spaced k-mer pattern")
+_A("--spaced-kmer-pattern", "spaced_kmer_pattern", str, "", "custom pattern")
+_A("--taxon-list", "taxon_list", str, "", "taxonomy filter expression")
+_A("--prefilter-mode", "prefilter_mode", int, 0,
+   "0: kmer, 1: ungapped, 2: exhaustive, 3: ungapped+gapped")
+_A("--target-search-mode", "target_search_mode", int, 0, "target search mode")
+_A("--gpu", "gpu", int, 0, "use accelerator (TPU) path")
+_A("--pca", "pca", str, "substitution:1.100,context:1.400", "pseudo count a")
+_A("--pcb", "pcb", str, "substitution:4.100,context:5.800", "pseudo count b")
+
+# -- align --------------------------------------------------------------------------
+_A("-a", "add_backtrace", bool, False, "add backtrace (cigar) to alignment db")
+_A("--alignment-mode", "alignment_mode", int, 0,
+   "0: auto 1: score+endpos 2: +cov 3: +seqid 4: only ungapped")
+_A("--alignment-output-mode", "alignment_output_mode", int, 0, "output mode")
+_A("-e", "evalue", float, 1.0e-3, "E-value threshold")
+_A("--min-seq-id", "min_seq_id", float, 0.0, "minimum sequence identity")
+_A("--min-aln-len", "min_aln_len", int, 0, "minimum alignment length")
+_A("--seq-id-mode", "seq_id_mode", int, 0,
+   "0: alignment len 1: shorter seq 2: longer seq")
+_A("--alt-ali", "alt_align", int, 0, "alternative alignments")
+_A("-c", "cov_thr", float, 0.0, "coverage threshold")
+_A("--cov-mode", "cov_mode", int, 0, "coverage mode")
+_A("--max-rejected", "max_rejected", int, 2147483647, "max rejected before stop")
+_A("--max-accept", "max_accept", int, 2147483647, "max accepted before stop")
+_A("--score-bias", "score_bias", float, 0.0, "score bias")
+_A("--realign", "realign", bool, False, "realign with adjusted bias")
+_A("--realign-score-bias", "realign_score_bias", float, -0.2, "realign bias")
+_A("--realign-max-seqs", "realign_max_seqs", int, 2147483647, "realign max seqs")
+_A("--corr-score-weight", "corr_score_weight", float, 0.0,
+   "correlation score weight")
+_A("--zdrop", "zdrop", int, 40, "zdrop (nucleotide alignment)")
+_A("--wrapped-scoring", "wrapped_scoring", bool, False, "wrapped diagonal scoring")
+_A("--include-identity", "include_identity", bool, False,
+   "include identity hits")
+
+# -- clustering -----------------------------------------------------------------------
+_A("--cluster-mode", "cluster_mode", int, 0,
+   "0: set-cover 1: connected component 2: greedy by length 3: greedy low mem")
+_A("--max-iterations", "max_iterations", int, 1000, "CC clustering max depth")
+_A("--similarity-type", "similarity_type", int, 2, "2: score 1: seq id")
+_A("--single-step-clustering", "single_step_clustering", bool, False,
+   "non-cascaded clustering")
+_A("--cluster-steps", "cluster_steps", int, 3, "cascaded clustering steps")
+_A("--cluster-reassign", "cluster_reassign", bool, False,
+   "reassign leaves cascaded errors")
+_A("--kmer-per-seq", "kmer_per_seq", int, 21, "k-mers per sequence (linclust)")
+_A("--kmer-per-seq-scale", "kmer_per_seq_scale", ("multi", float),
+   MultiParam(0.0, 0.2), "scale k-mers per sequence with length")
+_A("--adjust-kmer-len", "adjust_kmer_len", bool, False, "adjust k-mer length")
+_A("--hash-shift", "hash_shift", int, 67, "hash shift (linclust)")
+_A("--include-only-extendable", "include_only_extendable", bool, False,
+   "include only extendable")
+_A("--ignore-multi-kmer", "ignore_multi_kmer", bool, False,
+   "skip repeated k-mers")
+_A("--rescore-mode", "rescore_mode", int, 0,
+   "0: hamming 1: substitution 2: ungapped alignment 3: end-to-end 4: window")
+_A("--filter-hits", "filter_hits", bool, False, "filter hits by seqid/cov")
+_A("--sort-results", "sort_results", int, 0, "sort results 0: eval 1: seqid")
+
+# -- format conversion ------------------------------------------------------------------
+_A("--format-mode", "format_mode", int, 0,
+   "0: BLAST-TAB 1: SAM 2: BLAST-TAB+len 3: HTML 4: BLAST-TAB+cols")
+_A("--format-output", "format_output", str,
+   "query,target,fident,alnlen,mismatch,gapopen,qstart,qend,tstart,tend,evalue,bits",
+   "output columns")
+_A("--translation-table", "translation_table", int, 1, "NCBI translation table")
+_A("--search-type", "search_type", int, 0,
+   "0: auto 1: amino 2: translated 3: nucleotide 4: translated-nucl-aln")
+_A("--db-output", "db_output", bool, False, "write DB instead of flat file")
+
+# -- workflow --------------------------------------------------------------------------
+_A("--start-sens", "start_sens", float, 4.0, "start sensitivity")
+_A("--sens-steps", "sens_steps", int, 1, "number of search steps")
+_A("--num-iterations", "num_iterations", int, 1, "profile search iterations")
+_A("--exhaustive-search", "exhaustive_search", bool, False, "exhaustive mode")
+
+
+class Params:
+    """Parsed parameter values for one command invocation."""
+
+    def __init__(self):
+        for p in REGISTRY.all():
+            setattr(self, p.attr, copy.deepcopy(p.default))
+        self._was_set = set()
+        self.filenames: List[str] = []
+
+    def was_set(self, attr: str) -> bool:
+        return attr in self._was_set
+
+    def set(self, attr: str, value) -> None:
+        setattr(self, attr, value)
+        self._was_set.add(attr)
+
+    def parse(self, argv: List[str], command=None, min_db: int = 0,
+              max_db: int = 0) -> "Params":
+        i = 0
+        n = len(argv)
+        while i < n:
+            tok = argv[i]
+            if tok.startswith("-") and len(tok) > 1 and not _is_number(tok):
+                p = REGISTRY.by_flag(tok)
+                if p is None:
+                    log.die(f"Unrecognized parameter \"{tok}\"")
+                if p.typ is bool and (i + 1 >= n or argv[i + 1] not in ("0", "1")):
+                    self.set(p.attr, True)
+                    i += 1
+                else:
+                    if i + 1 >= n:
+                        log.die(f"Missing argument for {tok}")
+                    self.set(p.attr, p.parse_value(argv[i + 1]))
+                    i += 2
+            else:
+                self.filenames.append(tok)
+                i += 1
+        if max_db and len(self.filenames) > max_db:
+            log.die(f"Too many positional arguments ({len(self.filenames)} > {max_db})")
+        if min_db and len(self.filenames) < min_db:
+            usage = command.usage if command is not None else ""
+            log.die(f"Not enough positional arguments.\nUsage: {usage}")
+        log.set_level(self.verbosity)
+        return self
+
+    def to_args(self, attrs: List[str]) -> List[str]:
+        """Serialize selected params back to CLI tokens (for workflow steps)."""
+        out = []
+        for attr in attrs:
+            for p in REGISTRY.all():
+                if p.attr == attr:
+                    v = getattr(self, attr)
+                    if isinstance(v, bool):
+                        v = int(v)
+                    out += [p.name, str(v)]
+                    break
+        return out
+
+
+def _is_number(tok: str) -> bool:
+    return bool(re.match(r"^-[0-9.]", tok))

@@ -1,0 +1,154 @@
+"""Command registry: one table of all commands (reference src/MMseqsBase.cpp).
+
+Each command is a callable `fn(params, command) -> int` registered with its
+name, usage string, and positional-argument arity. Commands are loaded lazily
+to keep CLI startup fast (JAX import deferred until a compute command runs).
+"""
+
+import importlib
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional
+
+# command categories (mirrors COMMAND_* groups in the reference)
+CAT_MAIN = "Easy workflows (for non-experts)"
+CAT_WORKFLOW = "Main workflows"
+CAT_CORE = "Core modules"
+CAT_UTIL = "Utility modules"
+CAT_DB = "Database management"
+CAT_SPECIAL = "Special-purpose utilities"
+CAT_HIDDEN = "hidden"
+
+
+@dataclass
+class Command:
+    name: str
+    module: str            # python module under mmseqs2_tpu.commands
+    func: str              # function name inside the module
+    category: str
+    description: str
+    usage: str
+    min_db: int = 0
+    max_db: int = 0
+
+    def load(self) -> Callable:
+        mod = importlib.import_module(f"mmseqs2_tpu.commands.{self.module}")
+        return getattr(mod, self.func)
+
+
+COMMANDS: List[Command] = [
+    # easy workflows
+    Command("easy-search", "easy_search", "easy_search", CAT_MAIN,
+            "Sensitive homology search (FASTA in, BLAST-tab out)",
+            "easy-search <queryFasta> <targetFastaOrDB> <outFile> <tmpDir>", 4, 0),
+    Command("easy-cluster", "easy_cluster", "easy_cluster", CAT_MAIN,
+            "Cluster sequences by similarity (FASTA in)",
+            "easy-cluster <fasta> <outPrefix> <tmpDir>", 3, 0),
+    Command("easy-linclust", "easy_cluster", "easy_linclust", CAT_MAIN,
+            "Cluster sequences in linear time (FASTA in)",
+            "easy-linclust <fasta> <outPrefix> <tmpDir>", 3, 0),
+    # main workflows
+    Command("search", "search", "search", CAT_WORKFLOW,
+            "Sensitive homology search",
+            "search <queryDB> <targetDB> <alnDB> <tmpDir>", 4, 4),
+    Command("cluster", "cluster_wf", "cluster", CAT_WORKFLOW,
+            "Cluster a sequence DB",
+            "cluster <seqDB> <clustDB> <tmpDir>", 3, 3),
+    Command("linclust", "cluster_wf", "linclust", CAT_WORKFLOW,
+            "Cluster a sequence DB in linear time",
+            "linclust <seqDB> <clustDB> <tmpDir>", 3, 3),
+    # core modules
+    Command("prefilter", "prefilter_cmd", "prefilter", CAT_CORE,
+            "K-mer inverted-index double-diagonal prefilter",
+            "prefilter <queryDB> <targetDB> <prefDB>", 3, 3),
+    Command("ungappedprefilter", "prefilter_cmd", "ungappedprefilter", CAT_CORE,
+            "Exhaustive ungapped diagonal prefilter",
+            "ungappedprefilter <queryDB> <targetDB> <prefDB>", 3, 3),
+    Command("gappedprefilter", "prefilter_cmd", "gappedprefilter", CAT_CORE,
+            "Exhaustive gapped Smith-Waterman prefilter",
+            "gappedprefilter <queryDB> <targetDB> <prefDB>", 3, 3),
+    Command("align", "align_cmd", "align", CAT_CORE,
+            "Smith-Waterman gapped alignment of prefilter results",
+            "align <queryDB> <targetDB> <prefDB> <alnDB>", 4, 4),
+    Command("rescorediagonal", "rescorediagonal", "rescorediagonal", CAT_CORE,
+            "Rescore prefilter hits along their diagonal",
+            "rescorediagonal <queryDB> <targetDB> <resultDB> <outDB>", 4, 4),
+    Command("clust", "clust_cmd", "clust", CAT_CORE,
+            "Cluster result DB by set-cover/connected-component/greedy",
+            "clust <seqDB> <resultDB> <clustDB>", 3, 3),
+    Command("kmermatcher", "kmermatcher", "kmermatcher", CAT_CORE,
+            "Find k-mer sharing candidate pairs in linear time",
+            "kmermatcher <seqDB> <prefDB>", 2, 2),
+    # db management
+    Command("createdb", "createdb", "createdb", CAT_DB,
+            "Convert FASTA/Q to a sequence DB",
+            "createdb <fasta[.gz|.bz2]> ... <seqDB>", 2, 0),
+    Command("convertalis", "convertalis", "convertalis", CAT_UTIL,
+            "Convert an alignment DB to BLAST-tab/SAM/HTML",
+            "convertalis <queryDB> <targetDB> <alnDB> <outFile>", 4, 4),
+    Command("createtsv", "db_tools", "createtsv", CAT_UTIL,
+            "Convert a result DB to TSV",
+            "createtsv <queryDB> [<targetDB>] <resultDB> <tsvFile>", 3, 4),
+    Command("createsubdb", "db_tools", "createsubdb", CAT_DB,
+            "Create a subset DB from keys",
+            "createsubdb <subsetFileOrDB> <DB> <outDB>", 3, 3),
+    Command("mergedbs", "db_tools", "mergedbs", CAT_DB,
+            "Merge entries of multiple DBs",
+            "mergedbs <DB> <outDB> <DB1> ... <DBn>", 4, 0),
+    Command("concatdbs", "db_tools", "concatdbs", CAT_DB,
+            "Concatenate two DBs",
+            "concatdbs <DB1> <DB2> <outDB>", 3, 3),
+    Command("rmdb", "db_tools", "rmdb", CAT_DB,
+            "Remove a DB", "rmdb <DB>", 1, 1),
+    Command("mvdb", "db_tools", "mvdb", CAT_DB,
+            "Move a DB", "mvdb <srcDB> <dstDB>", 2, 2),
+    Command("cpdb", "db_tools", "cpdb", CAT_DB,
+            "Copy a DB", "cpdb <srcDB> <dstDB>", 2, 2),
+    Command("lndb", "db_tools", "lndb", CAT_DB,
+            "Symlink a DB", "lndb <srcDB> <dstDB>", 2, 2),
+    Command("touchdb", "db_tools", "touchdb", CAT_DB,
+            "Preload a DB into memory", "touchdb <DB>", 1, 1),
+    Command("view", "db_tools", "view", CAT_UTIL,
+            "Print DB entries", "view <DB> [<key> ...]", 1, 0),
+    Command("dbtype", "db_tools", "dbtype_cmd", CAT_DB,
+            "Print the DB type", "dbtype <DB>", 1, 1),
+    Command("swapresults", "db_tools", "swapresults", CAT_UTIL,
+            "Transpose a result DB (query<->target)",
+            "swapresults <queryDB> <targetDB> <resultDB> <outDB>", 4, 4),
+    Command("mergeclusters", "cluster_tools", "mergeclusters", CAT_UTIL,
+            "Merge cascaded clustering steps",
+            "mergeclusters <seqDB> <outDB> <clustDB1> ... <clustDBn>", 4, 0),
+    Command("result2repseq", "cluster_tools", "result2repseq", CAT_UTIL,
+            "Extract representative sequences from clustering",
+            "result2repseq <seqDB> <clustDB> <outDB>", 3, 3),
+    Command("createseqfiledb", "cluster_tools", "createseqfiledb", CAT_UTIL,
+            "Create a DB of unaligned FASTA files from clusters",
+            "createseqfiledb <seqDB> <clustDB> <outDB>", 3, 3),
+    Command("version", "misc", "version", CAT_UTIL, "Show version",
+            "version", 0, 0),
+]
+
+_BY_NAME = {c.name: c for c in COMMANDS}
+
+
+def get_command(name: str) -> Optional[Command]:
+    return _BY_NAME.get(name)
+
+
+def suggest(name: str) -> Optional[str]:
+    """Levenshtein 'did you mean' (reference src/commons/Application.cpp:208)."""
+    def dist(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    best, best_d = None, 1 << 30
+    for c in COMMANDS:
+        d = dist(name, c.name)
+        if d < best_d:
+            best, best_d = c.name, d
+    return best if best_d <= max(2, len(name) // 3) else None
