@@ -1,0 +1,276 @@
+"""Batched gapped aligner: device SW score/endpoint kernels + host backtrace.
+
+TPU-first shape of the reference Matcher/SmithWaterman stack
+(/root/reference/src/alignment/Matcher.cpp:62-160,
+ /root/reference/src/alignment/StripedSmithWaterman.cpp):
+
+  1. forward pass: all candidate targets of a query are padded into length
+     buckets and scored by one batched `sw_scan` (score, qEnd, tEnd);
+  2. gates (E-value, optimistic coverage from end positions) mirror
+     ssw_align_private's early returns;
+  3. reverse pass: per-pair reversed prefixes q[:qEnd+1], t[:tEnd+1] are
+     re-batched and scanned once more for start positions;
+  4. the backtrace for accepted pairs runs host-side via the banded DP
+     (ops/banded.py), exactly like the reference's banded_sw stage.
+
+Modes mirror Matcher: SCORE_ONLY(0) stops after 1, SCORE_COV(1) after 3,
+SCORE_COV_SEQID(2) runs all stages. Identity hits take the scoreIdentical
+shortcut (including its int16 score accumulator).
+"""
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..ops import dp
+from ..ops.banded import banded_align
+from ..ops.encode import (bucket_length, calc_local_aa_bias, round_bias_i8,
+                          make_query_profile)
+from . import util
+
+SCORE_ONLY = 0
+SCORE_COV = 1
+SCORE_COV_SEQID = 2
+
+ALPHA_PAD = 32
+PAD_LETTER = ALPHA_PAD - 1
+
+
+@dataclass
+class AlnResult:
+    db_key: int
+    score: int          # bit score (rounded int)
+    raw_score: int
+    seq_id: float
+    eval: float
+    q_start: int
+    q_end: int
+    q_len: int
+    db_start: int
+    db_end: int
+    db_len: int
+    qcov: float = 0.0
+    dbcov: float = 0.0
+    aln_length: int = 0
+    backtrace: str = ""
+
+    def to_line(self, add_backtrace: bool) -> str:
+        return util.result_to_line(self, add_backtrace)
+
+
+@dataclass
+class QueryContext:
+    q_num: np.ndarray           # numeric residues (int)
+    comp_bias_i8: np.ndarray    # int8 per position
+    profile: np.ndarray         # (ALPHA_PAD, Lq_bucket) int32, bias included
+    bias: int                   # |min(mat)| + |min(comp bias)|  (gapless cap)
+
+
+def sort_results(results):
+    """Matcher::compareHits: eval asc, bit score desc, dbLen asc, key asc."""
+    results.sort(key=lambda r: (r.eval, -r.score, r.db_len, r.db_key))
+    return results
+
+
+class Aligner:
+    def __init__(self, submat, gap_open: int, gap_extend: int, evaluer,
+                 comp_bias_corr: bool = True, comp_bias_scale: float = 1.0):
+        self.submat = submat
+        self.mat = submat.sub_matrix.astype(np.int32)
+        self.go = int(gap_open)
+        self.ge = int(gap_extend)
+        if self.go < self.ge:
+            raise ValueError("gap_open < gap_extend unsupported by the "
+                             "prefix-cummax lazy-F closure")
+        self.evaluer = evaluer
+        self.comp_bias_corr = comp_bias_corr
+        self.comp_bias_scale = comp_bias_scale
+        self.mat_min = int(self.mat[: submat.alphabet_size,
+                                    : submat.alphabet_size].min())
+
+    # -- query setup ---------------------------------------------------------
+
+    def init_query(self, q_num: np.ndarray) -> QueryContext:
+        if self.comp_bias_corr:
+            cb = calc_local_aa_bias(q_num, self.mat, self.submat.pback,
+                                    self.comp_bias_scale)
+            cb_i8 = round_bias_i8(cb)
+            comp_bias_min = min(0, int(cb_i8.min()) if len(cb_i8) else 0)
+        else:
+            cb_i8 = np.zeros(len(q_num), dtype=np.int8)
+            comp_bias_min = 0
+        bias = abs(self.mat_min) + abs(comp_bias_min)
+        profile = make_query_profile(q_num, self.mat, cb_i8,
+                                     alpha_pad=ALPHA_PAD)
+        return QueryContext(q_num, cb_i8, profile, bias)
+
+    # -- identity shortcut ---------------------------------------------------
+
+    def score_identical(self, ctx: QueryContext, t_num, mode):
+        """SmithWaterman::scoreIdentical including the int16 accumulator."""
+        L = len(ctx.q_num)
+        per_pos = (self.mat[np.asarray(t_num), ctx.q_num]
+                   + ctx.comp_bias_i8.astype(np.int32))
+        raw = int(np.cumsum(per_pos.astype(np.int16), dtype=np.int16)[-1]) \
+            if L else 0
+        ev = self.evaluer.compute_evalue(raw, L)
+        return AlnResult(
+            db_key=-1, score=int(self.evaluer.compute_bit_score(raw) + 0.5),
+            raw_score=raw, seq_id=1.0, eval=ev,
+            q_start=0 if mode != SCORE_ONLY else -1, q_end=L - 1, q_len=L,
+            db_start=0 if mode != SCORE_ONLY else -1, db_end=L - 1, db_len=L,
+            qcov=1.0, dbcov=1.0, aln_length=L, backtrace="M" * L)
+
+    # -- batched device scans -------------------------------------------------
+
+    def _batch_scan(self, profiles, qidx, t_list):
+        """sw_scan over a ragged target list.
+
+        profiles: (NQ, A, Lq) int32; qidx: (len(t_list),) into profiles.
+        All dims are padded to power-of-two/bucket sizes so the jit cache
+        stays small (XLA compiles once per distinct shape).
+        """
+        import jax.numpy as jnp
+        n = len(t_list)
+        if n == 0:
+            z = np.zeros(0, np.int32)
+            return z, z.copy(), z.copy()
+        Lt = bucket_length(max(len(t) for t in t_list))
+        Bp = 1
+        while Bp < n:
+            Bp *= 2
+        tb = np.full((Bp, Lt), PAD_LETTER, dtype=np.int32)
+        for r, t in enumerate(t_list):
+            tb[r, : len(t)] = t
+        qp = np.zeros(Bp, np.int32)
+        qp[:n] = qidx
+        nq = profiles.shape[0]
+        nqp = 1
+        while nqp < nq:
+            nqp *= 2
+        if nqp != nq:
+            profiles = np.concatenate(
+                [profiles, np.zeros((nqp - nq,) + profiles.shape[1:],
+                                    profiles.dtype)])
+        s, qe, te = dp.sw_scan(jnp.asarray(profiles), jnp.asarray(qp),
+                               jnp.asarray(tb), self.go, self.ge)
+        return (np.asarray(s)[:n], np.asarray(qe)[:n], np.asarray(te)[:n])
+
+    # -- main entry -----------------------------------------------------------
+
+    def align_query(self, ctx: QueryContext, target_keys, target_seqs,
+                    target_lens, identity_flags, mode=SCORE_COV_SEQID,
+                    cov_mode=0, cov_thr=0.0, eval_thr=1e-3,
+                    seq_id_mode=util.SEQ_ID_ALN_LEN):
+        """Align one query against candidate targets; returns AlnResult list
+        in input order. Acceptance/early-exit is the caller's job (it depends
+        on result order and maxAccept/maxReject)."""
+        qL = len(ctx.q_num)
+        results = [None] * len(target_keys)
+        sw_idx = []
+        for i, ident in enumerate(identity_flags):
+            if ident:
+                res = self.score_identical(ctx, target_seqs[i], mode)
+                res.db_key = target_keys[i]
+                res.db_len = int(target_lens[i])
+                results[i] = res
+            else:
+                sw_idx.append(i)
+        if not sw_idx:
+            return results
+
+        # 1. forward: score + end positions
+        scores, qends, tends = self._batch_scan(
+            ctx.profile[None], np.zeros(len(sw_idx), np.int32),
+            [target_seqs[i] for i in sw_idx])
+
+        # 2. gates; collect reverse-pass work
+        rev_profiles, rev_targets, rev_rows = [], [], []
+        for r, i in enumerate(sw_idx):
+            raw = int(scores[r])
+            qe, te = int(qends[r]), int(tends[r])
+            tL = int(target_lens[i])
+            ev = self.evaluer.compute_evalue(raw, qL)
+            res = AlnResult(
+                db_key=target_keys[i],
+                score=int(self.evaluer.compute_bit_score(raw) + 0.5),
+                raw_score=raw, seq_id=0.0, eval=ev,
+                q_start=-1, q_end=qe, q_len=qL,
+                db_start=-1, db_end=te, db_len=tL,
+                aln_length=max(abs(qe + 1), abs(te + 1)))
+            results[i] = res
+            if te == -1 or mode == SCORE_ONLY:
+                if te != -1:
+                    res.seq_id = util.estimate_seq_id_by_score_per_col(
+                        raw, max(qe, 1), max(te, 1))
+                continue
+            res.qcov = float(util.compute_cov(0, qe, qL))
+            res.dbcov = float(util.compute_cov(0, te, tL))
+            low_cov = not util.has_coverage(cov_thr, cov_mode,
+                                            res.qcov, res.dbcov)
+            if ev > eval_thr or low_cov:
+                continue   # ssw_align_private early return (mode 1 and 2)
+            q_rev = ctx.q_num[: qe + 1][::-1].copy()
+            cb_rev = ctx.comp_bias_i8[: qe + 1][::-1].copy()
+            rev_profiles.append(make_query_profile(
+                q_rev, self.mat, cb_rev, alpha_pad=ALPHA_PAD,
+                pad_len=bucket_length(qe + 1)))
+            rev_targets.append(target_seqs[i][: te + 1][::-1].copy())
+            rev_rows.append(i)
+
+        # 3. reverse pass -> start positions, real coverage
+        if rev_rows:
+            max_lq = max(p.shape[1] for p in rev_profiles)
+            rp = np.stack([
+                np.pad(p, ((0, 0), (0, max_lq - p.shape[1])),
+                       constant_values=-(1 << 20)) for p in rev_profiles])
+            rs, rqe, rte = self._batch_scan(
+                rp, np.arange(len(rev_rows), dtype=np.int32), rev_targets)
+            for k, i in enumerate(rev_rows):
+                res = results[i]
+                if int(rs[k]) != res.raw_score:
+                    raise RuntimeError(
+                        f"forward/reverse SW score mismatch {int(rs[k])} != "
+                        f"{res.raw_score} (target {res.db_key})")
+                res.q_start = res.q_end - int(rqe[k])
+                res.db_start = res.db_end - int(rte[k])
+                res.qcov = float(util.compute_cov(res.q_start, res.q_end, qL))
+                res.dbcov = float(util.compute_cov(res.db_start, res.db_end,
+                                                   res.db_len))
+                res.aln_length = max(abs(res.q_end - res.q_start),
+                                     abs(res.db_end - res.db_start)) + 1
+                low_cov = not util.has_coverage(cov_thr, cov_mode,
+                                                res.qcov, res.dbcov)
+                if mode == SCORE_COV:
+                    res.seq_id = util.estimate_seq_id_by_score_per_col(
+                        res.raw_score, max(res.q_end - res.q_start, 1),
+                        max(res.db_end - res.db_start, 1))
+                    continue
+                if low_cov:
+                    continue   # alignStartPosBacktrace returns pre-banded
+
+                # 4. backtrace (host banded DP) + real sequence identity
+                t_num = target_seqs[i]
+                bt = banded_align(
+                    t_num[res.db_start: res.db_end + 1],
+                    ctx.q_num[res.q_start: res.q_end + 1],
+                    ctx.comp_bias_i8[res.q_start: res.q_end + 1],
+                    res.raw_score, self.go, self.ge, self.mat)
+                res.backtrace = bt
+                res.aln_length = len(bt)
+                q_win = ctx.q_num[res.q_start:]
+                t_win = t_num[res.db_start:]
+                qi = ti = 0
+                aa_ids = 0
+                for op in bt:
+                    if op == 'M':
+                        aa_ids += int(t_win[ti] == q_win[qi])
+                        qi += 1
+                        ti += 1
+                    elif op == 'I':
+                        qi += 1
+                    else:
+                        ti += 1
+                res.seq_id = float(util.compute_seq_id(
+                    seq_id_mode, aa_ids, qL, res.db_len, res.aln_length))
+        return results

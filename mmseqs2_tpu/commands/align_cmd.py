@@ -1,0 +1,148 @@
+"""`align` command: gapped alignment of prefilter results.
+
+Reference behavior: src/alignment/Alignment.cpp (driver loop :248-460,
+acceptance :389-397, mode escalation :28-90) + Matcher::getSWResult.
+Device kernels do the SW score/endpoint passes per query batch; the banded
+backtrace runs host-side for accepted candidates only.
+"""
+
+import numpy as np
+
+from ..align import util as autil
+from ..align.aligner import (Aligner, SCORE_COV, SCORE_COV_SEQID, SCORE_ONLY,
+                             sort_results)
+from ..db import dbtype as dbt
+from ..db.reader import DBReader
+from ..db.writer import DBWriter
+from ..ops.evalue import EvalueComputation
+from ..utils import log
+from .common import EncodedDB, get_sub_mat, open_seq_db, parse_prefilter_entry
+
+ALIGNMENT_MODE_FAST_AUTO = 0
+ALIGNMENT_MODE_SCORE_ONLY = 1
+ALIGNMENT_MODE_SCORE_COV = 2
+ALIGNMENT_MODE_SCORE_COV_SEQID = 3
+ALIGNMENT_MODE_UNGAPPED = 4
+
+INT_MAX = 2147483647
+
+
+def init_sw_mode(alignment_mode: int, cov_thr: float, seq_id_thr: float) -> int:
+    """Alignment::initSWMode (/root/reference/src/alignment/Alignment.cpp:167)."""
+    if alignment_mode == ALIGNMENT_MODE_FAST_AUTO:
+        if cov_thr > 0.0 and seq_id_thr == 0.0:
+            return SCORE_COV
+        if cov_thr > 0.0 and seq_id_thr > 0.0:
+            return SCORE_COV_SEQID
+        return SCORE_ONLY
+    if alignment_mode == ALIGNMENT_MODE_SCORE_COV:
+        return SCORE_COV
+    if alignment_mode == ALIGNMENT_MODE_SCORE_COV_SEQID:
+        return SCORE_COV_SEQID
+    return SCORE_ONLY
+
+
+def check_criteria(res, is_identity, eval_thr, seq_id_thr, aln_len_thr,
+                   cov_mode, cov_thr) -> bool:
+    """Alignment::checkCriteria (/root/reference/src/alignment/Alignment.cpp)."""
+    if is_identity:
+        return True
+    return (res.eval <= eval_thr
+            and res.seq_id >= seq_id_thr
+            and autil.has_coverage(cov_thr, cov_mode, res.qcov, res.dbcov)
+            and res.aln_length >= aln_len_thr)
+
+
+def align(par, command):
+    qdb_path, tdb_path, pref_path, out_path = par.filenames[:4]
+    same_db = qdb_path == tdb_path
+
+    submat = get_sub_mat(par)
+    qreader = open_seq_db(qdb_path)
+    treader = qreader if same_db else open_seq_db(tdb_path)
+    qdb = EncodedDB(qreader, submat)
+    tdb = qdb if same_db else EncodedDB(treader, submat)
+    prefdb = DBReader(pref_path)
+
+    alignment_mode = par.alignment_mode
+    if par.add_backtrace:
+        alignment_mode = ALIGNMENT_MODE_SCORE_COV_SEQID
+    sw_mode = init_sw_mode(alignment_mode, par.cov_thr, par.min_seq_id)
+
+    evaluer = EvalueComputation(treader.total_residues(), submat,
+                                par.gap_open.aa, par.gap_extend.aa)
+    aligner = Aligner(submat, par.gap_open.aa, par.gap_extend.aa, evaluer,
+                      par.comp_bias_corr, par.comp_bias_corr_scale)
+
+    writer = DBWriter(out_path, dbt.DBTYPE_ALIGNMENT_RES)
+    total_passed = 0
+    aln_num = 0
+    for pid in range(prefdb.size):
+        query_key = prefdb.get_db_key(pid)
+        data = prefdb.get_data(pid)
+        lines = []
+        if data:
+            hit_keys, _, _ = parse_prefilter_entry(data)
+            qid = qreader.get_id(query_key)
+            ctx = aligner.init_query(qdb.seq_num(qid))
+            q_len = qdb.seq_len(qid)
+
+            # canBeCovered pre-gate (counts as a rejection in the replay)
+            cand, pre_rejected = [], []
+            for key in hit_keys:
+                tid = treader.get_id(key)
+                if tid < 0:
+                    log.die(f"Sequence {key} required by the prefilter result "
+                            f"is missing from the target database")
+                t_len = tdb.seq_len(tid)
+                if not autil.can_be_covered(par.cov_thr, par.cov_mode,
+                                            float(q_len), float(t_len)):
+                    pre_rejected.append(key)
+                    cand.append(None)
+                else:
+                    cand.append((key, tid, t_len))
+
+            keys = [c[0] for c in cand if c]
+            tids = [c[1] for c in cand if c]
+            tlens = [c[2] for c in cand if c]
+            ident = [same_db and k == query_key or
+                     (par.include_identity and k == query_key) for k in keys]
+            tseqs = [tdb.seq_num(t) for t in tids]
+            results = aligner.align_query(
+                ctx, keys, tseqs, tlens, ident, sw_mode,
+                par.cov_mode, par.cov_thr, par.evalue, par.seq_id_mode)
+            aln_num += len(results)
+
+            # replay the accept/reject loop in prefilter order
+            accepted = []
+            passed = 0
+            rejected = 0
+            ri = 0
+            for c in cand:
+                if passed >= par.max_accept or rejected >= par.max_rejected:
+                    break
+                if c is None:
+                    rejected += 1
+                    continue
+                res = results[ri]
+                is_identity = ident[ri]
+                ri += 1
+                if is_identity:
+                    res.qcov, res.dbcov, res.seq_id = 1.0, 1.0, 1.0
+                if check_criteria(res, is_identity, par.evalue,
+                                  par.min_seq_id, par.min_aln_len,
+                                  par.cov_mode, par.cov_thr):
+                    accepted.append(res)
+                    passed += 1
+                    total_passed += 1
+                    rejected = 0
+                else:
+                    rejected += 1
+            if len(accepted) > 1:
+                sort_results(accepted)
+            lines = [r.to_line(par.add_backtrace) for r in accepted]
+        writer.write(query_key, "".join(lines).encode())
+    writer.close()
+    log.info(f"{aln_num} alignments calculated, {total_passed} sequence pairs "
+             f"passed the thresholds")
+    return 0

