@@ -1,0 +1,200 @@
+"""linclust k-min-mer candidate generation (Linclust v1, longest-center).
+
+Reference: src/linclust/kmermatcher.cpp. Per sequence, the --kmer-per-seq
+lowest-hashed k-mers (xxhash64 low 16 bits, seed --hash-shift) plus one
+whole-sequence hash entry are collected; the global array is sorted by
+(kmer, seqLen desc, id, pos); per k-mer group the longest sequence becomes
+the center and center->member pairs with diagonals are emitted, deduplicated
+by (center, member) keeping the most frequent diagonal, and written as a
+prefilter-format DB keyed by center.
+
+Reduced 13-letter alphabet (data/reduced.py), consecutive (non-spaced)
+k-mers, k = max(10, log(residues)/log(8.7)).
+"""
+
+import numpy as np
+
+P1 = np.uint64(11400714785074694791)
+P2 = np.uint64(14029467366897019727)
+P3 = np.uint64(1609587929392839161)
+P4 = np.uint64(9650029242287828579)
+P5 = np.uint64(2870177450012600261)
+
+
+def _rotl(x, r):
+    r = np.uint64(r)
+    return (x << r) | (x >> (np.uint64(64) - r))
+
+
+def xxh64_u64(values: np.ndarray, seed: int) -> np.ndarray:
+    """XXH64 of each 8-byte little-endian uint64 (vectorized)."""
+    with np.errstate(over="ignore"):
+        v = values.astype(np.uint64)
+        h = np.uint64(seed) + P5 + np.uint64(8)
+        k1 = v * P2
+        k1 = _rotl(k1, 31)
+        k1 = k1 * P1
+        h = h ^ k1
+        h = _rotl(h, 27) * P1 + P4
+        h ^= h >> np.uint64(33)
+        h *= P2
+        h ^= h >> np.uint64(29)
+        h *= P3
+        h ^= h >> np.uint64(32)
+    return h
+
+
+def poly_hash(seq_num: np.ndarray) -> np.uint64:
+    """Util::hash: h = h*31 + x (u64 wraparound)."""
+    h = np.uint64(0)
+    with np.errstate(over="ignore"):
+        for v in seq_num:
+            h = h * np.uint64(31) + np.uint64(v)
+    return h
+
+
+def select_kmers(seq_num: np.ndarray, k: int, alpha: int, x_index: int,
+                 kmer_considered: int, hash_shift: int):
+    """Lowest-hash k-mer selection for one sequence.
+
+    Returns (kmer u64 array, pos array) of the selected k-mers, in sequence
+    order, reproducing the reference's histogram threshold + last-bin-excess
+    admission (kmermatcher.cpp:240-340).
+    """
+    L = len(seq_num)
+    n = L - k + 1
+    if n <= 0:
+        return (np.zeros(0, np.uint64), np.zeros(0, np.int64))
+    win = seq_num[np.arange(n)[:, None] + np.arange(k)[None, :]]
+    valid = ~(win == x_index).any(axis=1)
+    powers = (np.uint64(alpha) ** np.arange(k, dtype=np.uint64))
+    with np.errstate(over="ignore"):
+        idx = (win.astype(np.uint64) * powers[None, :]).sum(
+            axis=1, dtype=np.uint64)
+    idx = idx[valid]
+    pos = np.nonzero(valid)[0]
+    if len(idx) == 0:
+        return (np.zeros(0, np.uint64), np.zeros(0, np.int64))
+    hashes = (xxh64_u64(idx, hash_shift) & np.uint64(0xFFFF)).astype(np.int64)
+    target = min(kmer_considered, len(idx))
+    counts = np.bincount(hashes, minlength=65536)
+    cum = np.cumsum(counts)
+    thr = int(np.searchsorted(cum, target) + 1)   # smallest t: |{h<t}| >= target
+    in_bins = int(cum[thr - 1])
+    excess = in_bins - target
+    lt = hashes < thr - 1
+    eq = hashes == thr - 1
+    if excess > 0:
+        admit_eq = eq & (np.cumsum(eq) <= excess)
+    else:
+        admit_eq = eq
+    admitted = lt | admit_eq
+    admitted &= np.cumsum(admitted) <= target
+    return idx[admitted], pos[admitted]
+
+
+def build_pairs(seqs, keys, k: int, alpha: int, x_index: int,
+                kmers_per_seq: int, kmers_per_seq_scale: float,
+                hash_shift: int, cov_thr: float, cov_mode: int,
+                include_only_extendable: bool):
+    """Collect entries, group by kmer, emit center->member pairs.
+
+    seqs: list of reduced numeric sequences in local id order; keys: db keys.
+    Returns structured pair arrays (rep_key, member_key, diag i16, count later).
+    """
+    from ..align.util import can_be_covered
+    ks, ids, poss, lens = [], [], [], []
+    for lid, seq in enumerate(seqs):
+        L = len(seq)
+        considered = int(kmers_per_seq - 1 + kmers_per_seq_scale * L)
+        kmers, pos = select_kmers(seq, k, alpha, x_index,
+                                  considered, hash_shift)
+        key = int(keys[lid])
+        ks.append(kmers)
+        ids.append(np.full(len(kmers), key, dtype=np.int64))
+        poss.append(pos)
+        lens.append(np.full(len(kmers), L, dtype=np.int64))
+        # whole-sequence hash entry
+        ks.append(np.array([xxh64_u64(np.array([poly_hash(seq)],
+                                               dtype=np.uint64),
+                                      hash_shift)[0]], dtype=np.uint64))
+        ids.append(np.array([key], dtype=np.int64))
+        poss.append(np.array([0], dtype=np.int64))
+        lens.append(np.array([L], dtype=np.int64))
+    kmer = np.concatenate(ks) if ks else np.zeros(0, np.uint64)
+    sid = np.concatenate(ids) if ids else np.zeros(0, np.int64)
+    pos = np.concatenate(poss) if poss else np.zeros(0, np.int64)
+    slen = np.concatenate(lens) if lens else np.zeros(0, np.int64)
+
+    # sort by (kmer, seqLen desc, id, pos)
+    order = np.lexsort((pos, sid, -slen, kmer))
+    kmer, sid, pos, slen = kmer[order], sid[order], pos[order], slen[order]
+
+    # group boundaries
+    n = len(kmer)
+    rep_k, mem_k, diags, mem_len = [], [], [], []
+    start = 0
+    while start < n:
+        end = start + 1
+        while end < n and kmer[end] == kmer[start]:
+            end += 1
+        if end - start >= 2:
+            rep_id = sid[start]
+            rep_pos = pos[start]
+            rep_len = slen[start]
+            for i in range(start, end):
+                diagonal = int(rep_pos) - int(pos[i])
+                can_ext = diagonal < 0 or diagonal > int(rep_len - slen[i])
+                covered = can_be_covered(cov_thr, cov_mode, float(rep_len),
+                                         float(slen[i]))
+                if (not include_only_extendable and covered) or \
+                        (can_ext and include_only_extendable):
+                    rep_k.append(int(rep_id))
+                    mem_k.append(int(sid[i]))
+                    diags.append(np.int16(diagonal))
+                    mem_len.append(int(slen[i]))
+        start = end
+    return (np.array(rep_k, dtype=np.int64), np.array(mem_k, dtype=np.int64),
+            np.array(diags, dtype=np.int16))
+
+
+def write_result(writer, rep_k, mem_k, diags):
+    """Sort pairs by (rep, member, diag) and serialize per representative
+    (kmermatcher.cpp writeKmerMatcherResult), including its write_sets quirk
+    (once any rep wrote members, later member-less reps are still written)."""
+    order = np.lexsort((diags, mem_k, rep_k))
+    rep_k, mem_k, diags = rep_k[order], mem_k[order], diags[order]
+    n = len(rep_k)
+    i = 0
+    write_sets = 0
+    while i < n:
+        rep = int(rep_k[i])
+        j = i
+        lines = [f"{rep}\t0\t0\n"]
+        members_written = 0
+        while j < n and rep_k[j] == rep:
+            member = int(mem_k[j])
+            # count run for this member; most frequent diagonal (>= latest)
+            e = j
+            best_diag = int(diags[j])
+            max_cnt = 0
+            cnt = 0
+            prev = None
+            top = 0
+            while e < n and rep_k[e] == rep and mem_k[e] == member:
+                d = int(diags[e])
+                cnt = cnt + 1 if d == prev else 1
+                if cnt >= max_cnt:
+                    best_diag = d
+                    max_cnt = cnt
+                prev = d
+                e += 1
+                top += 1
+            if member != rep:
+                lines.append(f"{member}\t{top}\t{best_diag}\n")
+                members_written += 1
+            j = e
+        write_sets += members_written
+        if write_sets > 0:
+            writer.write(rep, "".join(lines).encode())
+        i = j

@@ -46,6 +46,18 @@ def get_sub_mat(par, nucl: bool = False, bit_factor: float = 2.0,
     return get_submat(name, bit_factor, score_bias)
 
 
+import re
+
+_INT_RE = re.compile(rb"^-?\d+")
+
+
+def fast_atoi(tok: bytes) -> int:
+    """Util::fast_atoi: parse the leading integer, ignore the rest (so an
+    alignment record's float columns don't crash prefilter-hit parsing)."""
+    m = _INT_RE.match(tok)
+    return int(m.group(0)) if m else 0
+
+
 def parse_prefilter_entry(data: bytes):
     """Parse one prefilter DB entry into (keys, scores, diagonals) arrays."""
     keys, scores, diags = [], [], []
@@ -53,7 +65,7 @@ def parse_prefilter_entry(data: bytes):
         if not line:
             continue
         parts = line.split(b"\t")
-        keys.append(int(parts[0]))
-        scores.append(int(parts[1]) if len(parts) > 1 else 0)
-        diags.append(int(parts[2]) if len(parts) > 2 else 0)
+        keys.append(fast_atoi(parts[0]))
+        scores.append(fast_atoi(parts[1]) if len(parts) > 1 else 0)
+        diags.append(fast_atoi(parts[2]) if len(parts) > 2 else 0)
     return keys, scores, diags

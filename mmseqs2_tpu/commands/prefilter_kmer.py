@@ -1,0 +1,118 @@
+"""`prefilter`: the k-mer inverted-index double-diagonal-match prefilter.
+
+Reference: src/prefiltering/Prefiltering.cpp — seed matrix VTML80 at 8-bit
+scaling with -0.2 bias, ungapped rescoring matrix at 2-bit (getSubstitutionMatrix
+:1009-1025), k-mer threshold from sensitivity (getKmerThreshold :1036-1075),
+k auto-sized 6/7 from DB residues (IndexTable.h:441-443), tantan-masked index
+build with self-score k-mer pruning (IndexBuilder.cpp), per-query matching in
+prefilter/query_matcher.py, output `targetKey \t diagScore \t diagonal`.
+"""
+
+import numpy as np
+
+from ..data.submat import get_submat
+from ..db import dbtype as dbt
+from ..db.writer import DBWriter
+from ..ops.tantan import likelihood_ratio_matrix, mask_batch
+from ..prefilter.kmer_generator import KmerGenerator, SubKmerScores
+from ..prefilter.kmer_index import KmerIndexTable
+from ..prefilter.query_matcher import QueryMatcher, USHRT_MAX
+from ..utils import log
+from .common import EncodedDB, open_seq_db
+
+INT_MAX = 2147483647
+
+
+def get_kmer_threshold(sensitivity: float, kmer_size: int,
+                       k_score: int = INT_MAX) -> int:
+    """Prefiltering::getKmerThreshold, sequence-query branch."""
+    if k_score != INT_MAX:
+        return k_score
+    base_sens = {5: (160.75, 12.75), 6: (163.2, 8.917), 7: (186.15, 11.22)}
+    if kmer_size not in base_sens:
+        raise ValueError(f"invalid k-mer size {kmer_size}")
+    base, per = base_sens[kmer_size]
+    # float base - (float sens * double per) -> float, then int truncation
+    best = np.float32(np.float64(np.float32(base))
+                      - np.float64(np.float32(sensitivity)) * per)
+    return int(best)
+
+
+def compute_kmer_size(residues: int) -> int:
+    return 6 if residues < 3350000000 else 7
+
+
+def build_index(tdb: EncodedDB, seed, kmer_size: int, kmer_thr: int,
+                mask: bool, mask_prob: float, mask_lower: bool,
+                spaced: bool, pattern: str):
+    alpha = seed.alphabet_size - 1      # X removed for seeding
+    x_idx = seed.alphabet_size - 1
+    seqs = [tdb.seq_num(i).astype(np.uint8) for i in range(tdb.size)]
+    if mask:
+        lr = likelihood_ratio_matrix(seed)
+        masked, n_masked = mask_batch(seqs, lr, x_idx, mask_prob)
+        log.info(f"Index table: Masked residues: {n_masked}")
+    else:
+        masked = seqs
+    if mask_lower:
+        for i, s in enumerate(masked):
+            raw = tdb.reader.get_seq(i)
+            lower = np.frombuffer(raw, dtype=np.uint8) >= ord('a')
+            s = s.copy()
+            s[lower[: len(s)]] = x_idx
+            masked[i] = s
+    self_score = np.diag(seed.sub_matrix).astype(np.int64)
+    table = KmerIndexTable(alpha, kmer_size, spaced, pattern)
+    table.build(masked, x_idx, kmer_thr, self_score)
+    return table
+
+
+def prefilter_kmer(par, command):
+    qdb_path, tdb_path, out_path = par.filenames[:3]
+    same_db = qdb_path == tdb_path
+
+    seed = get_submat(par.seed_sub_mat.aa, 8.0, -0.2)
+    ungapped = get_submat(par.sub_mat.aa, 2.0, -0.2)
+    qreader = open_seq_db(qdb_path)
+    treader = qreader if same_db else open_seq_db(tdb_path)
+    qdb = EncodedDB(qreader, seed)
+    tdb = qdb if same_db else EncodedDB(treader, seed)
+
+    kmer_size = par.kmer_size or compute_kmer_size(treader.total_residues())
+    kmer_thr = get_kmer_threshold(par.sensitivity, kmer_size,
+                                  par.k_score.aa)
+    log.info(f"k-mer similarity threshold: {kmer_thr} (k = {kmer_size})")
+
+    spaced = par.spaced_kmer_mode == 1
+    table = build_index(tdb, seed, kmer_size, kmer_thr,
+                        par.mask == 1, par.mask_prob,
+                        par.mask_lower_case == 1, spaced,
+                        par.spaced_kmer_pattern)
+    log.info(f"Index table: {len(table.entries_seq)} k-mer positions")
+
+    alpha = seed.alphabet_size - 1
+    three = SubKmerScores(seed.sub_matrix, alpha, 3)
+    two = SubKmerScores(seed.sub_matrix, alpha, 2)
+    generator = KmerGenerator(kmer_size, alpha, three, two)
+
+    matcher = QueryMatcher(
+        table, seed, ungapped, kmer_thr, kmer_size, par.max_seqs,
+        par.comp_bias_corr, par.comp_bias_corr_scale,
+        par.min_ungapped_score, generator)
+
+    writer = DBWriter(out_path, dbt.DBTYPE_PREFILTER_RES)
+    for qid in range(qdb.size):
+        q_key = qreader.get_db_key(qid)
+        identity_id = -1
+        if same_db or par.include_identity:
+            tid = treader.get_id(q_key)
+            if tid >= 0:
+                identity_id = tid
+        hits = matcher.match(qdb.seq_num(qid), identity_id)
+        lines = []
+        for tid, score, diag in hits:
+            t_key = treader.get_db_key(tid)
+            lines.append(f"{t_key}\t{score}\t{diag}\n")
+        writer.write(q_key, "".join(lines).encode())
+    writer.close()
+    return 0

@@ -1,0 +1,201 @@
+"""`rescorediagonal`: re-score prefilter hits along their diagonal.
+
+Reference: src/alignment/rescorediagonal.cpp + DistanceCalculator.h.
+Modes: 0 HAMMING (count identical ASCII bytes), 1 SUBSTITUTION (best local
+ungapped score), 2 ALIGNMENT (local ungapped with start/end), 3 END_TO_END,
+4 WINDOW_QUALITY (not yet implemented). Scores use an ASCII-indexed 2-bit
+substitution matrix (createAsciiSubMat), i.e. raw sequence bytes, so masked
+lowercase letters score like their uppercase forms but differ under HAMMING.
+
+Output: modes 0/1 -> prefilter-format (`key \t score \t diagonal`); modes
+2/3 -> alignment-format records.
+"""
+
+import numpy as np
+
+from ..align import util as autil
+from ..align.aligner import AlnResult, sort_results
+from ..data.submat import get_submat
+from ..db import dbtype as dbt
+from ..db.reader import DBReader
+from ..db.writer import DBWriter
+from ..ops.evalue import EvalueComputation
+from ..utils import log
+from .common import parse_prefilter_entry
+
+RESCORE_HAMMING = 0
+RESCORE_SUBSTITUTION = 1
+RESCORE_ALIGNMENT = 2
+RESCORE_END_TO_END = 3
+
+
+def ascii_submat(submat):
+    """ASCII x ASCII score lookup (SubstitutionMatrix::createAsciiSubMat)."""
+    table = submat.make_aa2num_table()
+    rng = np.arange(123)       # 0..'z'
+    idx = table[rng]
+    return submat.sub_matrix[np.ix_(idx, idx)].astype(np.int64)
+
+
+def local_best(scores: np.ndarray):
+    """(score, start, end) of the best non-negative run (reference
+    computeSubstitutionStartEndDistance tie-breaks: later maxima do NOT
+    replace; only strictly greater)."""
+    best = 0
+    best_s = 0
+    best_e = 0
+    run = 0
+    min_pos = -1
+    for pos, v in enumerate(scores):
+        run += int(v)
+        if run <= 0:
+            run = 0
+            min_pos = pos
+        if run > best:
+            best = run
+            best_e = pos
+            best_s = min_pos + 1
+    return best, best_s, best_e
+
+
+def diagonal_window(q_len, t_len, diagonal):
+    """Signed-diagonal overlap window (DistanceCalculator semantics).
+
+    Returns (q_start, t_start, length) or None."""
+    d = int(np.int16(np.array(diagonal).astype(np.int64).astype(np.uint16)))
+    dist = abs(d)
+    if d >= 0 and dist < q_len:
+        return dist, 0, min(t_len, q_len - dist), d
+    if d < 0 and dist < t_len:
+        return 0, dist, min(t_len - dist, q_len), d
+    return None
+
+
+def rescorediagonal(par, command):
+    q_path, t_path, res_path, out_path = par.filenames[:4]
+    same_db = q_path == t_path
+    qdb = DBReader(q_path)
+    tdb = qdb if same_db else DBReader(t_path)
+    res = DBReader(res_path)
+    submat = get_submat(par.sub_mat.aa, 2.0, 0.0)
+    amat = ascii_submat(submat)
+    evaluer = EvalueComputation(tdb.total_residues(), submat, 0, 0)
+    mode = par.rescore_mode
+
+    out_type = dbt.DBTYPE_ALIGNMENT_RES if mode in (
+        RESCORE_ALIGNMENT, RESCORE_END_TO_END) else dbt.DBTYPE_PREFILTER_RES
+    writer = DBWriter(out_path, out_type)
+
+    for i in range(res.size):
+        q_key = res.get_db_key(i)
+        data = res.get_data(i)
+        lines = []
+        aln_results = []
+        if data:
+            qid = qdb.get_id(q_key)
+            q_seq = np.frombuffer(qdb.get_seq(qid), dtype=np.uint8)
+            q_len = len(q_seq)
+            keys, scores_in, diags = parse_prefilter_entry(data)
+            for key, _, diag in zip(keys, scores_in, diags):
+                tid = tdb.get_id(key)
+                t_seq = np.frombuffer(tdb.get_seq(tid), dtype=np.uint8)
+                t_len = len(t_seq)
+                is_identity = (qid == tid and (par.include_identity
+                                               or same_db))
+                if not autil.can_be_covered(par.cov_thr, par.cov_mode,
+                                            float(q_len), float(t_len)):
+                    continue
+                win = diagonal_window(q_len, t_len, diag)
+                if win is None:
+                    continue
+                qs, ts, n, d = win
+                qw = q_seq[qs: qs + n]
+                tw = t_seq[ts: ts + n]
+                col = amat[qw, tw]
+                seq_id = 0.0
+                evalue = 0.0
+                bit_score = 0
+                aln_len = 0
+                q_cov = np.float32(n) / np.float32(q_len)
+                t_cov = np.float32(n) / np.float32(t_len)
+                result = None
+                if mode == RESCORE_HAMMING:
+                    distance = int((qw == tw).sum())
+                    seq_id = autil.compute_seq_id(par.seq_id_mode, distance,
+                                                  q_len, t_len, n)
+                    aln_len = n
+                else:
+                    if mode == RESCORE_SUBSTITUTION:
+                        if n:
+                            c = np.cumsum(col)
+                            pm = np.minimum(np.minimum.accumulate(
+                                np.concatenate([[0], c[:-1]])), 0)
+                            distance = max(0, int((c - pm).max()))
+                        else:
+                            distance = 0
+                    else:
+                        distance, start, end = local_best(col)
+                    evalue = evaluer.compute_evalue(distance, q_len)
+                    bit_score = int(evaluer.compute_bit_score(distance) + 0.5)
+                    if mode in (RESCORE_ALIGNMENT, RESCORE_END_TO_END):
+                        if mode == RESCORE_END_TO_END:
+                            start, end = 0, n - 1
+                            distance = max(int(col.sum()), 0)
+                            evalue = evaluer.compute_evalue(distance, q_len)
+                            bit_score = int(
+                                evaluer.compute_bit_score(distance) + 0.5)
+                        aln_len = end - start + 1
+                        if d >= 0:
+                            q_s, q_e = start + qs, end + qs
+                            t_s, t_e = start, end
+                        else:
+                            q_s, q_e = start, end
+                            t_s, t_e = start + ts, end + ts
+                        if evalue <= par.evalue or is_identity:
+                            upper_q = q_seq[q_s: q_e + 1] & ~np.uint8(0x20)
+                            upper_t = t_seq[t_s: t_e + 1] & ~np.uint8(0x20)
+                            id_cnt = int((upper_q == upper_t).sum())
+                            seq_id = autil.compute_seq_id(
+                                par.seq_id_mode, id_cnt, q_len, t_len,
+                                aln_len)
+                        q_cov = autil.compute_cov(q_s, q_e, q_len)
+                        t_cov = autil.compute_cov(t_s, t_e, t_len)
+                        bt = f"{aln_len}M" if par.add_backtrace else ""
+                        result = AlnResult(
+                            db_key=key, score=bit_score, raw_score=distance,
+                            seq_id=float(seq_id), eval=evalue,
+                            q_start=q_s, q_end=q_e, q_len=q_len,
+                            db_start=t_s, db_end=t_e, db_len=t_len,
+                            qcov=float(q_cov), dbcov=float(t_cov),
+                            aln_length=aln_len, backtrace=bt)
+
+                has_cov = autil.has_coverage(par.cov_thr, par.cov_mode,
+                                             q_cov, t_cov)
+                has_seq_id = seq_id >= (par.min_seq_id
+                                        - np.finfo(np.float32).eps)
+                has_eval = evalue <= par.evalue
+                has_aln_len = aln_len >= par.min_aln_len
+                if is_identity or (has_aln_len and has_cov and has_seq_id
+                                   and has_eval):
+                    if mode in (RESCORE_ALIGNMENT, RESCORE_END_TO_END):
+                        aln_results.append(result)
+                    elif mode == RESCORE_SUBSTITUTION:
+                        lines.append(f"{key}\t{bit_score}\t{d}\n")
+                    else:
+                        # seqId is held in a double in the reference, so
+                        # 100*0.11f = 10.9999... truncates to 10
+                        lines.append(
+                            f"{key}\t{int(100 * np.float64(seq_id))}\t{d}\n")
+        if par.sort_results > 0 and len(aln_results) > 1:
+            sort_results(aln_results)
+        if aln_results:
+            lines = [r.to_line(par.add_backtrace) for r in aln_results]
+        elif par.sort_results > 0 and len(lines) > 1:
+            # hit_t::compareHitsByScoreAndId over the prefilter-format lines
+            def hit_key(ln):
+                parts = ln.split("\t")
+                return (-abs(int(parts[1])), int(parts[0]))
+            lines.sort(key=hit_key)
+        writer.write(q_key, "".join(lines).encode())
+    writer.close()
+    return 0

@@ -100,10 +100,15 @@ class SubstitutionMatrix:
             pback[mask] = pback[mask] * (1.0 - pback[x_idx])
         prob = np.exp(self.lambda_file * S) * pback[:, None] * pback[None, :]
         self.prob_matrix = prob
+        # the member pBack stays the (X-adjusted) file background — it feeds
+        # composition bias and tantan likelihood ratios
+        # (SubstitutionMatrix::readProbMatrix keeps this->pBack; the row-sum
+        # background below is local to generateSubMatrix)
+        self.pback = pback
         # recomputed background (BaseMatrix::computeBackground)
         pb2 = prob.sum(axis=1)
         pb2[n - 1] = ANY_BACK  # containsX assumed; X is last by convention
-        self.pback = pb2
+        self.pback_bg = pb2
         # pseudo-count conditionals P(a|b)
         self.sub_matrix_pseudo_counts = prob / pb2[None, :]
         with np.errstate(divide="ignore"):

@@ -111,7 +111,7 @@ _A("--write-lookup", "write_lookup", int, 1, "write .lookup file")
 _A("--id-offset", "id_offset", int, 0, "numeric id offset")
 
 # -- prefilter ---------------------------------------------------------------------
-_A("-s", "sensitivity", float, 5.7, "sensitivity: 1.0 fast .. 7.5 sensitive")
+_A("-s", "sensitivity", float, 4.0, "sensitivity: 1.0 fast .. 7.5 sensitive")
 _A("-k", "kmer_size", int, 0, "k-mer length (0: auto)")
 _A("--k-score", "k_score", ("multi", int), MultiParam(2147483647, 2147483647),
    "k-mer threshold")
@@ -132,8 +132,8 @@ _A("--mask-lower-case", "mask_lower_case", int, 0, "mask lowercase residues")
 _A("--mask-n-repeat", "mask_n_repeat", int, 0, "mask N-repeats")
 _A("--min-ungapped-score", "min_ungapped_score", int, 15,
    "minimum ungapped diagonal score")
-_A("--add-self-matches", "add_self_matches", bool, False,
-   "artificially add query self-hits")
+_A("--add-self-matches", "include_identity", bool, False,
+   "artificially add entries of queries with themselves (for clustering)")
 _A("--spaced-kmer-mode", "spaced_kmer_mode", int, 1, "spaced k-mer pattern")
 _A("--spaced-kmer-pattern", "spaced_kmer_pattern", str, "", "custom pattern")
 _A("--taxon-list", "taxon_list", str, "", "taxonomy filter expression")
@@ -167,8 +167,6 @@ _A("--corr-score-weight", "corr_score_weight", float, 0.0,
    "correlation score weight")
 _A("--zdrop", "zdrop", int, 40, "zdrop (nucleotide alignment)")
 _A("--wrapped-scoring", "wrapped_scoring", bool, False, "wrapped diagonal scoring")
-_A("--include-identity", "include_identity", bool, False,
-   "include identity hits")
 
 # -- clustering -----------------------------------------------------------------------
 _A("--cluster-mode", "cluster_mode", int, 0,

@@ -1,0 +1,143 @@
+"""Spaced k-mers and the CSR inverted k-mer index.
+
+Reference semantics reproduced:
+  - spaced seed patterns (hard-coded tables, /root/reference/src/commons/Sequence.h:20-75)
+  - k-mer integer codec: little-endian, index = sum l_i * A^i with A = 20
+    (X excluded; /root/reference/src/prefiltering/Indexer.cpp:4-21)
+  - index build (/root/reference/src/prefiltering/IndexTable.h:135-424,
+    IndexBuilder.cpp): masked target sequences, k-mers containing X skipped,
+    k-mers with self-score < threshold skipped, one entry per (sequence,
+    k-mer) at its smallest position, entry = (seqId, position_j), posting
+    lists sorted by sequence id.
+
+TPU-first layout: the index is two flat numpy arrays (CSR offsets + packed
+entries) that can be uploaded to device HBM and gathered by the device
+matcher; the build is vectorized host numpy.
+"""
+
+import numpy as np
+
+# spaced seed patterns from the reference (1 = informative position)
+SPACED_PATTERNS = {
+    4: [1, 1, 1, 0, 1],
+    5: [1, 1, 0, 0, 1, 0, 0, 0, 0, 1, 0, 1],
+    6: [1, 1, 0, 1, 0, 1, 0, 0, 1, 1],
+    7: [1, 1, 0, 1, 0, 1, 1, 0, 0, 1, 1],
+    8: [1, 1, 0, 1, 0, 1, 1, 1, 0, 0, 1, 1],
+    9: [1, 1, 0, 1, 0, 1, 1, 0, 0, 1, 1, 0, 1, 1],
+    10: [1, 1, 0, 1, 0, 1, 1, 0, 1, 0, 1, 1, 0, 1, 1],
+    11: [1, 1, 0, 1, 0, 1, 1, 0, 0, 1, 1, 0, 1, 1, 0, 1, 1],
+    12: [1, 1, 0, 1, 0, 1, 1, 0, 0, 1, 1, 0, 1, 1, 0, 1, 0, 1, 1],
+    13: [1, 1, 0, 1, 0, 1, 1, 1, 0, 0, 1, 1, 0, 1, 1, 0, 1, 0, 1, 1],
+    14: [1, 1, 0, 1, 0, 1, 1, 1, 0, 0, 1, 1, 0, 1, 1, 0, 1, 1, 0, 1, 1],
+    15: [1, 1, 1, 0, 1, 0, 1, 1, 1, 1, 0, 1, 1, 0, 0, 0, 1, 0, 1, 1, 0, 1,
+         1],
+}
+
+
+def pattern_offsets(kmer_size: int, spaced: bool = True,
+                    user_pattern: str = ""):
+    """Informative position offsets + total span of the seed pattern."""
+    if user_pattern:
+        pat = [1 if c == "1" else 0 for c in user_pattern]
+        if sum(pat) != kmer_size:
+            raise ValueError("user pattern weight != kmer size")
+    elif spaced and kmer_size in SPACED_PATTERNS:
+        pat = SPACED_PATTERNS[kmer_size]
+    else:
+        pat = [1] * kmer_size
+    offsets = np.array([i for i, b in enumerate(pat) if b], dtype=np.int64)
+    return offsets, len(pat)
+
+
+def kmer_powers(alpha: int, k: int) -> np.ndarray:
+    return (alpha ** np.arange(k)).astype(np.int64)
+
+
+def extract_kmers(seq_num: np.ndarray, offsets: np.ndarray, span: int,
+                  alpha: int, x_index: int):
+    """All spaced k-mers of a sequence.
+
+    Returns (indices int64, positions int64, has_x bool) — one row per
+    starting position i in [0, L - span].
+    """
+    L = len(seq_num)
+    n = L - span + 1
+    if n <= 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), np.zeros(0, dtype=bool)
+    win = seq_num[np.arange(n)[:, None] + offsets[None, :]].astype(np.int64)
+    has_x = (win == x_index).any(axis=1)
+    powers = kmer_powers(alpha, len(offsets))
+    idx = win @ powers
+    pos = np.arange(n, dtype=np.int64)
+    return idx, pos, has_x
+
+
+class KmerIndexTable:
+    """CSR inverted index: kmer -> [(local seqId, position u16), ...]."""
+
+    def __init__(self, alpha: int, kmer_size: int, spaced: bool = True,
+                 user_pattern: str = ""):
+        self.alpha = alpha
+        self.k = kmer_size
+        self.offsets_pat, self.span = pattern_offsets(kmer_size, spaced,
+                                                      user_pattern)
+        self.table_size = alpha ** kmer_size
+        self.offsets = None       # (table_size + 1,) int64
+        self.entries_seq = None   # (n_entries,) int64 local seq id
+        self.entries_pos = None   # (n_entries,) uint16 position
+        self.masked_seqs = None   # list of masked numeric sequences
+
+    def build(self, masked_seqs, x_index: int, kmer_thr: int,
+              self_score: np.ndarray):
+        """masked_seqs: list of masked numeric target sequences (local id
+        order). self_score: per-letter diagonal score of the seed matrix."""
+        all_kmer, all_seq, all_pos = [], [], []
+        for sid, seq in enumerate(masked_seqs):
+            idx, pos, has_x = extract_kmers(seq, self.offsets_pat, self.span,
+                                            self.alpha, x_index)
+            keep = ~has_x
+            if kmer_thr > 0:
+                win_sc = self_score[
+                    seq[np.arange(len(pos))[:, None] + self.offsets_pat]
+                ].sum(axis=1)
+                keep &= win_sc >= kmer_thr
+            idx, pos = idx[keep], pos[keep]
+            if len(idx) == 0:
+                continue
+            # one entry per (kmer): smallest position (reference sorts by
+            # (kmer, pos) and keeps the first)
+            order = np.lexsort((pos, idx))
+            idx, pos = idx[order], pos[order]
+            first = np.ones(len(idx), dtype=bool)
+            first[1:] = idx[1:] != idx[:-1]
+            idx, pos = idx[first], pos[first]
+            all_kmer.append(idx)
+            all_seq.append(np.full(len(idx), sid, dtype=np.int64))
+            all_pos.append(pos)
+        if all_kmer:
+            kmers = np.concatenate(all_kmer)
+            seqs = np.concatenate(all_seq)
+            poss = np.concatenate(all_pos)
+        else:
+            kmers = seqs = poss = np.zeros(0, dtype=np.int64)
+        # CSR: stable sort by kmer preserves seq-id order within lists
+        order = np.argsort(kmers, kind="stable")
+        kmers, seqs, poss = kmers[order], seqs[order], poss[order]
+        counts = np.bincount(kmers, minlength=self.table_size) \
+            if len(kmers) else np.zeros(self.table_size, dtype=np.int64)
+        self.offsets = np.concatenate([[0], np.cumsum(counts)]).astype(
+            np.int64)
+        self.entries_seq = seqs.astype(np.int64)
+        self.entries_pos = poss.astype(np.uint16)
+        self.masked_seqs = masked_seqs
+        return self
+
+    def lists(self, kmer_indices: np.ndarray):
+        """Posting-list spans for a batch of kmer indices.
+
+        Returns (starts, counts)."""
+        starts = self.offsets[kmer_indices]
+        counts = self.offsets[kmer_indices + 1] - starts
+        return starts, counts

@@ -96,3 +96,54 @@ def test_convertalis_parity(tmp_path):
     got = open(out).read()
     want = open(GOLDEN / "aln.m8").read()
     assert got == want
+
+
+@pytest.mark.slow
+def test_kmer_prefilter_parity(tmp_path):
+    """12 queries (distinct query DB) vs the full 500-seq target DB, default
+    sensitivity 4.0 — golden `prefsub` was produced by the reference with the
+    same inputs (see tests/golden/README.md)."""
+    keys = list(range(N_SUBSET))
+    sub = make_subset_db(tmp_path, keys)
+    out = str(tmp_path / "pref")
+    run_cmd("prefilter", [sub, str(GOLDEN / "qdb"), out])
+    got = entries_by_key(out)
+    want = entries_by_key(str(GOLDEN / "prefsub"))
+    for k in keys:
+        assert got[k] == want[k], f"query {k}:\n{got[k]!r}\n!=\n{want[k]!r}"
+
+
+def test_kmer_prefilter_self_parity(tmp_path):
+    """Self-search (sameDB): identity hits injected with USHRT_MAX score."""
+    keys = list(range(N_SUBSET))
+    sub = make_subset_db(tmp_path, keys)
+    out = str(tmp_path / "prefself")
+    run_cmd("prefilter", [sub, sub, out])
+    got = entries_by_key(out)
+    want = entries_by_key(str(GOLDEN / "prefself"))
+    for k in keys:
+        assert got[k] == want[k], f"query {k}:\n{got[k]!r}\n!=\n{want[k]!r}"
+
+
+@pytest.mark.parametrize("mode", [0, 1, 2])
+def test_clust_parity(tmp_path, mode):
+    out = str(tmp_path / f"clu{mode}")
+    run_cmd("clust", [str(GOLDEN / "qdb"), str(GOLDEN / "aln"), out,
+                      "--cluster-mode", str(mode)])
+    got = entries_by_key(out)
+    want = entries_by_key(str(GOLDEN / f"clu{mode}"))
+    assert set(got) == set(want), (sorted(got)[:5], sorted(want)[:5])
+    for k in want:
+        assert got[k] == want[k], f"cluster {k}:\n{got[k]!r}\n!=\n{want[k]!r}"
+
+
+@pytest.mark.parametrize("mode", [0, 1, 2])
+def test_rescorediagonal_parity(tmp_path, mode):
+    out = str(tmp_path / f"resc{mode}")
+    run_cmd("rescorediagonal", [str(GOLDEN / "qdb"), str(GOLDEN / "qdb"),
+                                str(GOLDEN / "pref"), out,
+                                "--rescore-mode", str(mode)])
+    got = entries_by_key(out)
+    want = entries_by_key(str(GOLDEN / f"resc{mode}"))
+    for k in want:
+        assert got[k] == want[k], f"query {k}:\n{got[k]!r}\n!=\n{want[k]!r}"
