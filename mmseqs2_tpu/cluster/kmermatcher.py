@@ -54,18 +54,23 @@ def poly_hash(seq_num: np.ndarray) -> np.uint64:
 
 
 def select_kmers(seq_num: np.ndarray, k: int, alpha: int, x_index: int,
-                 kmer_considered: int, hash_shift: int):
+                 kmer_considered: int, hash_shift: int,
+                 offsets: np.ndarray = None, span: int = None):
     """Lowest-hash k-mer selection for one sequence.
 
     Returns (kmer u64 array, pos array) of the selected k-mers, in sequence
     order, reproducing the reference's histogram threshold + last-bin-excess
-    admission (kmermatcher.cpp:240-340).
+    admission (kmermatcher.cpp:240-340). offsets/span describe a spaced seed
+    pattern (consecutive if omitted).
     """
+    if offsets is None:
+        offsets = np.arange(k)
+        span = k
     L = len(seq_num)
-    n = L - k + 1
+    n = L - span + 1
     if n <= 0:
         return (np.zeros(0, np.uint64), np.zeros(0, np.int64))
-    win = seq_num[np.arange(n)[:, None] + np.arange(k)[None, :]]
+    win = seq_num[np.arange(n)[:, None] + offsets[None, :]]
     valid = ~(win == x_index).any(axis=1)
     powers = (np.uint64(alpha) ** np.arange(k, dtype=np.uint64))
     with np.errstate(over="ignore"):
@@ -96,19 +101,21 @@ def select_kmers(seq_num: np.ndarray, k: int, alpha: int, x_index: int,
 def build_pairs(seqs, keys, k: int, alpha: int, x_index: int,
                 kmers_per_seq: int, kmers_per_seq_scale: float,
                 hash_shift: int, cov_thr: float, cov_mode: int,
-                include_only_extendable: bool):
+                include_only_extendable: bool, spaced: bool = False):
     """Collect entries, group by kmer, emit center->member pairs.
 
     seqs: list of reduced numeric sequences in local id order; keys: db keys.
     Returns structured pair arrays (rep_key, member_key, diag i16, count later).
     """
     from ..align.util import can_be_covered
+    from ..prefilter.kmer_index import pattern_offsets
+    offsets, span = pattern_offsets(k, spaced)
     ks, ids, poss, lens = [], [], [], []
     for lid, seq in enumerate(seqs):
         L = len(seq)
         considered = int(kmers_per_seq - 1 + kmers_per_seq_scale * L)
         kmers, pos = select_kmers(seq, k, alpha, x_index,
-                                  considered, hash_shift)
+                                  considered, hash_shift, offsets, span)
         key = int(keys[lid])
         ks.append(kmers)
         ids.append(np.full(len(kmers), key, dtype=np.int64))
@@ -167,6 +174,7 @@ def write_result(writer, rep_k, mem_k, diags):
     n = len(rep_k)
     i = 0
     write_sets = 0
+    written = set()
     while i < n:
         rep = int(rep_k[i])
         j = i
@@ -197,4 +205,6 @@ def write_result(writer, rep_k, mem_k, diags):
         write_sets += members_written
         if write_sets > 0:
             writer.write(rep, "".join(lines).encode())
+            written.add(rep)
         i = j
+    return written

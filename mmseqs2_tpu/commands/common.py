@@ -11,7 +11,7 @@ from ..utils import log
 def open_seq_db(path: str) -> DBReader:
     r = DBReader(path)
     if not dbt.is_seq_dbtype(r.base_type):
-        log.warn(f"{path} is not a sequence database (type {r.base_type})")
+        log.warning(f"{path} is not a sequence database (type {r.base_type})")
     return r
 
 

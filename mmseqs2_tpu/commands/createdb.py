@@ -29,7 +29,11 @@ def createdb(par, cmd):
     # consistent order (reference sorts by basename)
     filenames.sort(key=lambda p: os.path.basename(p))
 
-    n_splits = SHUFFLE_SPLITS if par.shuffle else 1
+    # createdb-mode 1 (soft link) keeps sequences in file order; we copy the
+    # data (layout differs from the reference's symlink mode) but keys and
+    # sequence bytes — everything downstream consumes — match
+    n_splits = 1 if par.createdb_mode == 1 else (
+        SHUFFLE_SPLITS if par.shuffle else 1)
     # buckets hold (seq, header, file_idx); round-robin by read id
     buckets = [[] for _ in range(n_splits)]
 

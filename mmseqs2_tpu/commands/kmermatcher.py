@@ -1,0 +1,80 @@
+"""`kmermatcher` command: linear-time k-min-mer candidate pairs.
+
+Reference: src/linclust/kmermatcher.cpp (setLinearFilterDefault :1085,
+setKmerLengthAndAlphabet :2038). Linclust v1 (longest-center) path.
+"""
+
+import numpy as np
+
+from ..cluster import kmermatcher as km
+from ..data.reduced import get_reduced
+from ..data.submat import get_submat
+from ..db import dbtype as dbt
+from ..db.writer import DBWriter
+from ..utils import log
+from .common import open_seq_db
+
+
+def kmer_length_and_alphabet(par, residues: int):
+    """setKmerLengthAndAlphabet for amino-acid DBs."""
+    k = par.kmer_size
+    alpha = par.alph_size.aa
+    if k == 0:
+        if par.min_seq_id + 0.001 >= 0.99:
+            k, alpha = 14, 21
+        elif par.min_seq_id + 0.001 >= 0.9:
+            k, alpha = 14, 13
+        else:
+            k = max(10, int(np.log(np.float32(residues)) / np.log(8.7)))
+            alpha = 13
+    # standalone kmermatcher resets kmersPerSequence to the linear-filter
+    # default (setLinearFilterDefault -> 0 -> 20); workflows pass it
+    # explicitly (their serialized value, 21 by default)
+    kmer_per_seq = par.kmer_per_seq if par.was_set("kmer_per_seq") else 20
+    return k, alpha, kmer_per_seq
+
+
+def kmermatcher(par, command):
+    seq_path, out_path = par.filenames[:2]
+    reader = open_seq_db(seq_path)
+    # setLinearFilterDefault
+    cov_thr = par.cov_thr if par.was_set("cov_thr") else 0.8
+    mask = par.mask if par.was_set("mask") else 0
+
+    k, alpha, kmer_per_seq = kmer_length_and_alphabet(
+        par, reader.total_residues())
+    log.info(f"kmermatcher: k = {k}, alphabet = {alpha}, "
+             f"kmers/seq = {kmer_per_seq}")
+
+    if alpha < 21:
+        submat = get_reduced(par.sub_mat.aa, alpha, 2.0)
+    else:
+        submat = get_submat(par.sub_mat.aa, 2.0, 0.0)
+    x_idx = submat.alphabet_size - 1
+
+    seqs = [submat.encode(reader.get_seq(i)) for i in range(reader.size)]
+    if mask:
+        from ..ops.tantan import likelihood_ratio_matrix, mask_batch
+        seqs, _ = mask_batch(seqs, likelihood_ratio_matrix(submat), x_idx,
+                             par.mask_prob)
+
+    # standalone default: no spaced k-mers (setLinearFilterDefault)
+    spaced = bool(par.spaced_kmer_mode) if par.was_set("spaced_kmer_mode") \
+        else False
+    rep_k, mem_k, diags = km.build_pairs(
+        seqs, reader.keys, k, alpha - 1, x_idx, kmer_per_seq,
+        par.kmer_per_seq_scale.aa, par.hash_shift, cov_thr, par.cov_mode,
+        par.include_only_extendable, spaced)
+    log.info(f"{len(rep_k)} candidate pairs")
+
+    writer = DBWriter(out_path, dbt.DBTYPE_PREFILTER_RES)
+    written = km.write_result(writer, rep_k, mem_k, diags)
+    # sequences that did not become a written representative get a self-only
+    # entry (kmermatcher.cpp:1404-1423)
+    for i in range(reader.size):
+        key = int(reader.get_db_key(i))
+        if key not in written:
+            writer.write(key, f"{key}\t0\t0\n".encode())
+    writer.close()
+    reader.close()
+    return 0

@@ -10,6 +10,7 @@ prefilter/query_matcher.py, output `targetKey \t diagScore \t diagonal`.
 
 import numpy as np
 
+from ..align import util as autil
 from ..data.submat import get_submat
 from ..db import dbtype as dbt
 from ..db.writer import DBWriter
@@ -108,9 +109,17 @@ def prefilter_kmer(par, command):
             tid = treader.get_id(q_key)
             if tid >= 0:
                 identity_id = tid
-        hits = matcher.match(qdb.seq_num(qid), identity_id)
+        hits = matcher.match(qdb.seq_num(qid), identity_id,
+                             diagonal_scoring=bool(par.diag_score))
+        q_len = float(qreader.get_seq_len(qid))
+        check_cov = par.cov_thr > 0.0 and par.cov_mode in (0, 2, 5)
         lines = []
         for tid, score, diag in hits:
+            # output coverage gate (Prefiltering.cpp:885-893)
+            if check_cov and not autil.can_be_covered(
+                    par.cov_thr, par.cov_mode, q_len,
+                    float(treader.get_seq_len(tid))):
+                continue
             t_key = treader.get_db_key(tid)
             lines.append(f"{t_key}\t{score}\t{diag}\n")
         writer.write(q_key, "".join(lines).encode())

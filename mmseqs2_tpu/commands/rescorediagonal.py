@@ -71,6 +71,26 @@ def diagonal_window(q_len, t_len, diagonal):
     return None
 
 
+def parse_precision_lib(text: str, target_seqid: float, target_cov: float,
+                        target_precision: float) -> float:
+    """parsePrecisionLib (rescorediagonal.cpp:18-39): score-per-column
+    threshold giving >= targetPrecision at the rounded (cov, seqid) cell."""
+    int_seqid = int((target_seqid + 0.0001) * 100)
+    target_seqid = float(int_seqid - int_seqid % 5) / 100
+    target_cov = float(int((target_cov + 0.0001) * 10)) / 10
+    for line in text.splitlines():
+        vals = line.split()
+        if len(vals) < 4:
+            continue
+        cov, seqid, score_per_col, precision = (float(v) for v in vals[:4])
+        if (abs(cov - target_cov) < 1e-6 and abs(seqid - target_seqid) < 1e-6
+                and precision >= target_precision):
+            return score_per_col
+    log.warning(f"No score per column for coverage {target_cov} and sequence "
+             f"identity {target_seqid}. No hit will be filtered.")
+    return 0.0
+
+
 def rescorediagonal(par, command):
     q_path, t_path, res_path, out_path = par.filenames[:4]
     same_db = q_path == t_path
@@ -81,6 +101,18 @@ def rescorediagonal(par, command):
     amat = ascii_submat(submat)
     evaluer = EvalueComputation(tdb.total_residues(), submat, 0, 0)
     mode = par.rescore_mode
+    score_per_col_thr = 0.0
+    if par.filter_hits:
+        if mode == RESCORE_HAMMING:
+            log.warning("HAMMING distance can not be used to filter hits. "
+                     "Using --rescore-mode 1")
+            mode = RESCORE_SUBSTITUTION
+        from ..data import precision_libs
+        lib = (precision_libs.COV_SEQID_QSC_MINDIAG
+               if par.cov_mode == 0
+               else precision_libs.COV_SEQID_QSC_MINDIAG_TARGETCOV)
+        score_per_col_thr = parse_precision_lib(lib, par.min_seq_id,
+                                                par.cov_thr, 0.99)
 
     out_type = dbt.DBTYPE_ALIGNMENT_RES if mode in (
         RESCORE_ALIGNMENT, RESCORE_END_TO_END) else dbt.DBTYPE_PREFILTER_RES
@@ -175,8 +207,12 @@ def rescorediagonal(par, command):
                                         - np.finfo(np.float32).eps)
                 has_eval = evalue <= par.evalue
                 has_aln_len = aln_len >= par.min_aln_len
-                if is_identity or (has_aln_len and has_cov and has_seq_id
-                                   and has_eval):
+                curr_score_per_col = (np.float32(distance) / np.float32(n)
+                                      if n else np.float32(0))
+                has_to_filter = (par.filter_hits
+                                 and curr_score_per_col >= score_per_col_thr)
+                if is_identity or has_to_filter or (
+                        has_aln_len and has_cov and has_seq_id and has_eval):
                     if mode in (RESCORE_ALIGNMENT, RESCORE_END_TO_END):
                         aln_results.append(result)
                     elif mode == RESCORE_SUBSTITUTION:

@@ -92,6 +92,7 @@ class ReducedMatrix:
         with np.errstate(divide="ignore"):
             sm = np.log2(prob / (pb2[:, None] * pb2[None, :]))
         scaled = bit_factor * sm
+        scaled = np.where(np.isfinite(scaled), scaled, -(1 << 14))
         self.sub_matrix = np.where(scaled < 0.0, scaled - 0.5,
                                    scaled + 0.5).astype(np.int16)
         self.sub_matrix_float = sm

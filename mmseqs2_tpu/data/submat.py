@@ -115,6 +115,9 @@ class SubstitutionMatrix:
             sm = np.log2(prob / (pb2[:, None] * pb2[None, :]))
         self.sub_matrix_float = sm
         scaled = bit_factor * sm + score_bias
+        # zero-probability cells give -inf log-odds; clamp to a large negative
+        # score instead of relying on the C cast's undefined behavior
+        scaled = np.where(np.isfinite(scaled), scaled, -(1 << 14))
         # round half away from zero (reference BaseMatrix.cpp:184: +-0.5 trunc)
         self.sub_matrix = np.where(
             scaled < 0.0, scaled - 0.5, scaled + 0.5

@@ -71,11 +71,16 @@ class DBReader:
             raise ValueError(f"Malformed index file {index_path}")
         fields = fields.reshape(-1, 3)
         del arr
-        return (
-            np.ascontiguousarray(fields[:, 0]),
-            np.ascontiguousarray(fields[:, 1]),
-            np.ascontiguousarray(fields[:, 2]),
-        )
+        keys = np.ascontiguousarray(fields[:, 0])
+        offsets = np.ascontiguousarray(fields[:, 1])
+        lengths = np.ascontiguousarray(fields[:, 2])
+        # writers may emit unsorted indexes (reference DBWriter::close(false,
+        # false)); DBReader sorts by key on open (DBReader.cpp sortIndex)
+        if len(keys) > 1 and not np.all(keys[1:] >= keys[:-1]):
+            order = np.argsort(keys, kind="stable")
+            keys, offsets, lengths = keys[order], offsets[order], \
+                lengths[order]
+        return keys, offsets, lengths
 
     def _open_data(self):
         paths = []

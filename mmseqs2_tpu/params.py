@@ -187,6 +187,7 @@ _A("--include-only-extendable", "include_only_extendable", bool, False,
    "include only extendable")
 _A("--ignore-multi-kmer", "ignore_multi_kmer", bool, False,
    "skip repeated k-mers")
+_A("--filter-file", "filter_file", str, "", "filter by file membership")
 _A("--rescore-mode", "rescore_mode", int, 0,
    "0: hamming 1: substitution 2: ungapped alignment 3: end-to-end 4: window")
 _A("--filter-hits", "filter_hits", bool, False, "filter hits by seqid/cov")

@@ -115,6 +115,33 @@ class QueryMatcher:
         return ids, diags
 
     @staticmethod
+    def find_duplicates_counted(ids: np.ndarray, diags: np.ndarray):
+        """findDuplicates with computeTotalScore=true (diagonalScoring off):
+        one output per id with count = min(255, #duplicates) and the FIRST
+        duplicate's diagonal."""
+        if len(ids) == 0:
+            return ids, diags, np.zeros(0, np.int64)
+        order = np.argsort(ids, kind="stable")
+        sid = ids[order]
+        sdiag = diags[order]
+        d8 = sdiag.astype(np.uint8)
+        first_of_id = np.ones(len(sid), dtype=bool)
+        first_of_id[1:] = sid[1:] != sid[:-1]
+        prev_d8 = np.empty_like(d8)
+        prev_d8[0] = 0
+        prev_d8[1:] = d8[:-1]
+        dup = np.where(first_of_id, d8 == 0, d8 == prev_d8)
+        did, dd = sid[dup], sdiag[dup]
+        if len(did) == 0:
+            return did, dd, np.zeros(0, np.int64)
+        first = np.ones(len(did), dtype=bool)
+        first[1:] = did[1:] != did[:-1]
+        starts = np.nonzero(first)[0]
+        counts = np.diff(np.concatenate([starts, [len(did)]]))
+        counts = np.minimum(counts, UCHAR_MAX)
+        return did[starts], dd[starts], counts
+
+    @staticmethod
     def find_duplicates(ids: np.ndarray, diags: np.ndarray):
         """CacheFriendlyOperations::findDuplicates (computeTotalScore=false).
 
@@ -188,7 +215,8 @@ class QueryMatcher:
 
     # -- full pipeline --------------------------------------------------------
 
-    def match(self, q_num: np.ndarray, identity_id: int = -1):
+    def match(self, q_num: np.ndarray, identity_id: int = -1,
+              diagonal_scoring: bool = True):
         """Returns list of hit tuples (local target id, prefScore,
         diagonal i32) in final output order."""
         if self.aa_bias_corr:
@@ -198,6 +226,32 @@ class QueryMatcher:
             comp_bias = np.zeros(len(q_num), dtype=np.float32)
 
         ids, diags = self.gather_hits(q_num, comp_bias)
+
+        if not diagonal_scoring:
+            # KMER_SCORE path: double-match counts are the prefilter score
+            ids, diags, counts = self.find_duplicates_counted(ids, diags)
+            self.stats.double_matches = int(counts.sum())
+            score_sizes = np.bincount(counts, minlength=SCORE_RANGE) \
+                if len(counts) else np.zeros(SCORE_RANGE, dtype=np.int64)
+            thr = max(self.min_diag_thr,
+                      compute_score_threshold(score_sizes, self.max_hits))
+            keep = counts >= thr
+            ids, diags, counts = ids[keep], diags[keep], counts[keep]
+            order = np.argsort(-counts, kind="stable")
+            ids, diags, counts = ids[order], diags[order], counts[order]
+            hits = []
+            if identity_id >= 0:
+                hits.append((identity_id, UCHAR_MAX, 0))
+            for i in range(len(ids)):
+                if len(hits) >= self.max_hits:
+                    break
+                tid = int(ids[i])
+                if identity_id >= 0 and tid == identity_id:
+                    continue
+                hits.append((tid, int(counts[i]), int(np.int16(diags[i]))))
+            start = 1 if identity_id >= 0 else 0
+            tail = sorted(hits[start:], key=lambda h: (-abs(h[1]), h[0]))
+            return hits[:start] + tail
         ids, diags = self.find_duplicates(ids, diags)
         self.stats.double_matches = len(ids)
 

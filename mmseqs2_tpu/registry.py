@@ -79,6 +79,9 @@ COMMANDS: List[Command] = [
             "Find k-mer sharing candidate pairs in linear time",
             "kmermatcher <seqDB> <prefDB>", 2, 2),
     # db management
+    Command("filterdb", "cluster_tools", "filterdb", CAT_UTIL,
+            "Filter result DB entries by column/file criteria",
+            "filterdb <resultDB> <outDB>", 2, 2),
     Command("createdb", "createdb", "createdb", CAT_DB,
             "Convert FASTA/Q to a sequence DB",
             "createdb <fasta[.gz|.bz2]> ... <seqDB>", 2, 0),

@@ -8,7 +8,10 @@ chip instead.
 import os
 
 if os.environ.get("MMSEQS2_TPU_TEST_BACKEND", "cpu") == "cpu":
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # the axon TPU plugin self-registers from sitecustomize when this is set
+    # and overrides JAX_PLATFORMS; clear it so tests really run on CPU
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (

@@ -147,3 +147,29 @@ def test_rescorediagonal_parity(tmp_path, mode):
     want = entries_by_key(str(GOLDEN / f"resc{mode}"))
     for k in want:
         assert got[k] == want[k], f"query {k}:\n{got[k]!r}\n!=\n{want[k]!r}"
+
+
+def test_kmermatcher_parity(tmp_path):
+    out = str(tmp_path / "kmp")
+    run_cmd("kmermatcher", [str(GOLDEN / "qdb"), out])
+    got = entries_by_key(out)
+    want = entries_by_key(str(GOLDEN / "kmpref"))
+    assert got == want
+
+
+@pytest.mark.slow
+def test_linclust_workflow_parity(tmp_path):
+    out = str(tmp_path / "linclu")
+    run_cmd("linclust", [str(GOLDEN / "qdb"), out, str(tmp_path / "tmp")])
+    got = entries_by_key(out)
+    want = entries_by_key(str(GOLDEN / "linclu"))
+    assert got == want
+
+
+@pytest.mark.slow
+def test_cluster_workflow_parity(tmp_path):
+    out = str(tmp_path / "casclu")
+    run_cmd("cluster", [str(GOLDEN / "qdb"), out, str(tmp_path / "tmp")])
+    got = entries_by_key(out)
+    want = entries_by_key(str(GOLDEN / "casclu"))
+    assert got == want
