@@ -16,25 +16,28 @@ import numpy as np
 def bench_sw(batch=4096, lq=512, lt=512, iters=5, warmup=2):
     import jax
     import jax.numpy as jnp
-    from mmseqs2_tpu.ops import dp
 
     rng = np.random.default_rng(0)
     alpha = 32
-    nq = 16
-    profiles = jnp.asarray(
-        rng.integers(-4, 11, size=(nq, alpha, lq)).astype(np.int32))
-    qidx = jnp.asarray(rng.integers(0, nq, size=batch).astype(np.int32))
-    targets = jnp.asarray(
-        rng.integers(0, 20, size=(batch, lt)).astype(np.int32))
+    profile = jnp.asarray(
+        rng.integers(-4, 11, size=(alpha, lq)).astype(np.int32))
+    targets_t = jnp.asarray(
+        rng.integers(0, 20, size=(lt, batch)).astype(np.int32))
 
-    fn = jax.jit(lambda p, q, t: dp.sw_scan(p, q, t, 11, 1))
+    if jax.default_backend() == "cpu":
+        from mmseqs2_tpu.ops import dp
+        qidx = jnp.zeros(batch, jnp.int32)
+        fn = jax.jit(lambda p, t: dp.sw_scan(p[None], qidx, t.T, 11, 1))
+    else:
+        from mmseqs2_tpu.ops.pallas_sw import sw_pallas
+        fn = lambda p, t: sw_pallas(p, t, go=11, ge=1)  # noqa: E731
     # force full completion via host transfer (block_until_ready under the
     # axon tunnel returns before remote execution finishes)
     for _ in range(warmup):
-        np.asarray(fn(profiles, qidx, targets)[0])
+        np.asarray(fn(profile, targets_t)[0])
     t0 = time.perf_counter()
     for _ in range(iters):
-        s = np.asarray(fn(profiles, qidx, targets)[0])
+        s = np.asarray(fn(profile, targets_t)[0])
     dt = time.perf_counter() - t0
     assert int(s.min()) >= 0
     cells = batch * lq * lt * iters

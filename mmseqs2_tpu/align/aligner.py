@@ -123,18 +123,33 @@ class Aligner:
 
     # -- batched device scans -------------------------------------------------
 
+    @staticmethod
+    def _use_pallas():
+        import jax
+        return jax.default_backend() != "cpu"
+
     def _batch_scan(self, profiles, qidx, t_list):
         """sw_scan over a ragged target list.
 
         profiles: (NQ, A, Lq) int32; qidx: (len(t_list),) into profiles.
         All dims are padded to power-of-two/bucket sizes so the jit cache
-        stays small (XLA compiles once per distinct shape).
+        stays small (XLA compiles once per distinct shape). Single-profile
+        batches take the Pallas kernel on TPU (ops/pallas_sw.py).
         """
         import jax.numpy as jnp
         n = len(t_list)
         if n == 0:
             z = np.zeros(0, np.int32)
             return z, z.copy(), z.copy()
+        if profiles.shape[0] == 1 and n >= 8 and self._use_pallas():
+            from ..ops.pallas_sw import sw_pallas
+            Lt = bucket_length(max(len(t) for t in t_list))
+            tb = np.full((Lt, n), PAD_LETTER, dtype=np.int32)
+            for c, t in enumerate(t_list):
+                tb[: len(t), c] = t
+            s, qe, te = sw_pallas(jnp.asarray(profiles[0]), jnp.asarray(tb),
+                                  go=self.go, ge=self.ge)
+            return np.asarray(s), np.asarray(qe), np.asarray(te)
         Lt = bucket_length(max(len(t) for t in t_list))
         Bp = 1
         while Bp < n:

@@ -87,10 +87,22 @@ def prefilter_exhaustive(par, mode):
                 block = jnp.asarray(tb[sub])
                 n = block.shape[0]
                 qidx = jnp.zeros(n, jnp.int32)
+                import jax
+                use_pallas = jax.default_backend() != "cpu"
                 if mode == 0:
-                    caps = jnp.full(n, cap, jnp.int32)
-                    scores = np.asarray(dp.gapless_scan(
-                        profile, qidx, block, caps))
+                    if use_pallas:
+                        from ..ops.pallas_sw import sw_pallas
+                        scores = np.asarray(sw_pallas(
+                            profile[0], block.T, gapless=True, cap=cap)[0])
+                    else:
+                        caps = jnp.full(n, cap, jnp.int32)
+                        scores = np.asarray(dp.gapless_scan(
+                            profile, qidx, block, caps))
+                elif use_pallas:
+                    from ..ops.pallas_sw import sw_pallas
+                    scores = np.asarray(sw_pallas(
+                        profile[0], block.T, go=par.gap_open.aa,
+                        ge=par.gap_extend.aa)[0])
                 else:
                     scores, _, _ = dp.sw_scan(profile, qidx, block,
                                               par.gap_open.aa,
