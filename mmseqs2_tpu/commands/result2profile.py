@@ -1,0 +1,166 @@
+"""`result2profile`: alignment results -> PSSM profile DB.
+
+Reference: src/util/result2profile.cpp — per query: gather hits with
+E < --e-profile, realign without stored backtraces (SCORE_COV_SEQID, no
+thresholds), build the noDeletion center-star MSA, HH-style filter
+(--filter-msa), PSSM with substitution pseudocounts, global composition bias
+correction on the int8 scores, tantan profile masking, serialize 25 bytes
+per position (DBTYPE_HMM_PROFILE).
+"""
+
+import numpy as np
+
+from ..align.aligner import Aligner, SCORE_COV_SEQID
+from ..db import dbtype as dbt
+from ..db.reader import DBReader
+from ..db.writer import DBWriter
+from ..ops.evalue import EvalueComputation
+from ..profile import filter as msafilter
+from ..profile import msa as msamod
+from ..profile import pssm as pssmmod
+from ..utils import log
+from .common import EncodedDB, fast_atoi, get_sub_mat, open_seq_db
+from .convertalis import expand_cigar
+
+
+class HitRecord:
+    __slots__ = ("db_key", "q_start", "q_end", "db_start", "db_end",
+                 "backtrace", "eval")
+
+
+def parse_aln_line(parts):
+    h = HitRecord()
+    h.db_key = fast_atoi(parts[0])
+    h.eval = float(parts[3]) if len(parts) > 3 else 0.0
+    h.q_start = int(parts[4])
+    h.q_end = int(parts[5])
+    h.db_start = int(parts[7])
+    h.db_end = int(parts[8])
+    h.backtrace = expand_cigar(parts[10].decode()) if len(parts) > 10 else ""
+    return h
+
+
+def gather_msa_input(par, aligner, ctx, qdb, tdb, treader, query_key, data,
+                     same_db):
+    """Hits + backtraces for one query's result entry."""
+    hits = []
+    need_aln = []
+    for line in data.split(b"\n"):
+        if not line:
+            continue
+        parts = line.split(b"\t")
+        key = fast_atoi(parts[0])
+        if key == query_key and same_db:
+            continue
+        evalue = float(parts[3]) if len(parts) >= 4 else 0.0
+        if evalue >= par.e_profile:
+            continue
+        h = parse_aln_line(parts)
+        if not h.backtrace:
+            need_aln.append(len(hits))
+        hits.append(h)
+    if need_aln:
+        keys = [hits[i].db_key for i in need_aln]
+        tids = [treader.get_id(k) for k in keys]
+        tseqs = [tdb.seq_num(t) for t in tids]
+        tlens = [tdb.seq_len(t) for t in tids]
+        results = aligner.align_query(
+            ctx, keys, tseqs, tlens, [False] * len(keys),
+            SCORE_COV_SEQID, 0, 0.0, np.finfo(np.float64).max)
+        for i, res in zip(need_aln, results):
+            hits[i].q_start = res.q_start
+            hits[i].q_end = res.q_end
+            hits[i].db_start = res.db_start
+            hits[i].db_end = res.db_end
+            hits[i].backtrace = res.backtrace
+    return hits
+
+
+def result2profile(par, command):
+    qdb_path, tdb_path, res_path, out_path = par.filenames[:4]
+    same_db = qdb_path == tdb_path
+    submat = get_sub_mat(par)
+    qreader = open_seq_db(qdb_path)
+    treader = qreader if same_db else open_seq_db(tdb_path)
+    qdb = EncodedDB(qreader, submat)
+    tdb = qdb if same_db else EncodedDB(treader, submat)
+    res = DBReader(res_path)
+
+    evaluer = EvalueComputation(treader.total_residues(), submat,
+                                par.gap_open.aa, par.gap_extend.aa)
+    aligner = Aligner(submat, par.gap_open.aa, par.gap_extend.aa, evaluer,
+                      par.comp_bias_corr, par.comp_bias_corr_scale)
+
+    qid = int(float(par.qid.split(",")[0]) * 100)
+    writer = DBWriter(out_path, dbt.DBTYPE_HMM_PROFILE)
+    for i in range(res.size):
+        query_key = res.get_db_key(i)
+        qid_local = qreader.get_id(query_key)
+        q_num = qdb.seq_num(qid_local)
+        ctx = aligner.init_query(q_num)
+        hits = gather_msa_input(par, aligner, ctx, qdb, tdb, treader,
+                                query_key, res.get_data(i), same_db)
+        edge_seqs = [tdb.seq_num(treader.get_id(h.db_key)) for h in hits]
+        msa = msamod.compute_msa_nodel(q_num, edge_seqs, hits)
+        if par.filter_msa:
+            kept, _ = msafilter.filter_msa(
+                msa, submat.sub_matrix, int(par.cov_msa_thr * 100), qid,
+                par.qsc, int(par.filter_max_seq_id * 100), par.n_diff,
+                par.filter_min_enable)
+            msa = msa[kept]
+        out = pssmmod.compute_pssm_from_msa(msa, submat, par.wg)
+        pssm = out["pssm"]
+        if par.comp_bias_corr:
+            pssm = global_bias_correct(pssm, submat)
+        if par.mask_profile:
+            pssm = mask_profile(pssm, q_num, submat)
+        payload = pssmmod.profile_to_buffer(
+            pssm, q_num, out["consensus"], out["neff"], submat.aa2num)
+        writer.write(query_key, payload)
+    writer.close()
+    return 0
+
+
+def global_bias_correct(pssm: np.ndarray, submat) -> np.ndarray:
+    """SubstitutionMatrix::calcGlobalAaBiasCorrection on int8 scores.
+
+    The reference accumulates the window sums sequentially in float32; the
+    truncation to int is sensitive to that order, so we replicate it with a
+    per-position f32 cumsum (cumsum is sequential)."""
+    L = pssm.shape[0]
+    p = pssm.astype(np.float32)
+    pb = submat.pback[:20].astype(np.float32)
+    # pNull[pos] += pBack[a] (double) * score (float): double products folded
+    # into a float accumulator, per the reference's mixed precision
+    pb64 = submat.pback[:20].astype(np.float64)
+    pnull = np.zeros(L, dtype=np.float32)
+    for a in range(20):
+        pnull = (pnull.astype(np.float64)
+                 + pb64[a] * p[:, a].astype(np.float64)).astype(np.float32)
+    w = 40
+    # the reference corrects profileScores IN PLACE, so windows of later
+    # positions read already-corrected earlier rows; pNull stays original
+    scores = p.copy()
+    for i in range(L):
+        lo = max(0, i - w // 2)
+        hi = min(L, i + w // 2)
+        rows = [j for j in range(lo, hi) if j != i]
+        if rows:
+            terms = (scores[rows] - pnull[rows, None]).astype(np.float32)
+            aa_sum = np.cumsum(terms, axis=0, dtype=np.float32)[-1]
+        else:
+            aa_sum = np.zeros(20, dtype=np.float32)
+        corrected = scores[i] - aa_sum / np.float32(hi - lo)
+        scores[i] = np.trunc(corrected).astype(np.int8).astype(np.float32)
+    return scores.astype(np.int8)
+
+
+def mask_profile(pssm: np.ndarray, q_num: np.ndarray, submat) -> np.ndarray:
+    """Masker::maskPssm: tantan over the query; masked rows set to -1."""
+    from ..ops.tantan import likelihood_ratio_matrix, mask_batch
+    lr = likelihood_ratio_matrix(submat)
+    x_idx = submat.alphabet_size - 1
+    masked, _ = mask_batch([q_num.copy()], lr, x_idx)
+    out = pssm.copy()
+    out[masked[0] == x_idx] = -1
+    return out

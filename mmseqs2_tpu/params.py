@@ -204,6 +204,24 @@ _A("--search-type", "search_type", int, 0,
    "0: auto 1: amino 2: translated 3: nucleotide 4: translated-nucl-aln")
 _A("--db-output", "db_output", bool, False, "write DB instead of flat file")
 
+# -- profiles ----------------------------------------------------------------------
+_A("--e-profile", "e_profile", float, 0.001, "profile inclusion E-value")
+_A("--filter-msa", "filter_msa", int, 1, "filter MSA before PSSM")
+_A("--max-seq-id", "filter_max_seq_id", float, 0.9, "MSA max pairwise seq id")
+_A("--qsc", "qsc", float, -20.0, "MSA min score per aligned residue")
+_A("--qid", "qid", str, "0.0", "MSA min seq identity with query")
+_A("--cov", "cov_msa_thr", float, 0.0, "MSA min query coverage")
+_A("--diff", "n_diff", int, 1000, "keep N most diverse seqs per MSA block")
+_A("--filter-min-enable", "filter_min_enable", int, 0,
+   "filter only MSAs with more than N seqs")
+_A("--wg", "wg", bool, False, "global sequence weighting")
+_A("--mask-profile", "mask_profile", int, 1, "tantan-mask profile query")
+_A("--profile-output-mode", "profile_output_mode", int, 0,
+   "0: profile db, 1: plain text")
+_A("--msa-format-mode", "msa_format_mode", int, 2,
+   "result2msa output: 2: FASTA MSA, 5/6: a3m")
+_A("--skip-query", "skip_query", bool, False, "skip the query sequence")
+
 # -- workflow --------------------------------------------------------------------------
 _A("--start-sens", "start_sens", float, 4.0, "start sensitivity")
 _A("--sens-steps", "sens_steps", int, 1, "number of search steps")

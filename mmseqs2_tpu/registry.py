@@ -126,6 +126,9 @@ COMMANDS: List[Command] = [
     Command("createseqfiledb", "cluster_tools", "createseqfiledb", CAT_UTIL,
             "Create a DB of unaligned FASTA files from clusters",
             "createseqfiledb <seqDB> <clustDB> <outDB>", 3, 3),
+    Command("result2profile", "result2profile", "result2profile", CAT_CORE,
+            "Compute a PSSM profile DB from alignment results",
+            "result2profile <queryDB> <targetDB> <alnDB> <profileDB>", 4, 4),
     Command("version", "misc", "version", CAT_UTIL, "Show version",
             "version", 0, 0),
 ]
