@@ -23,7 +23,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..ops import dp
-from ..ops.banded import banded_align
+from ..ops.banded import banded_align_scores
 from ..ops.encode import (bucket_length, calc_local_aa_bias, round_bias_i8,
                           make_query_profile)
 from . import util
@@ -104,13 +104,35 @@ class Aligner:
                                      alpha_pad=ALPHA_PAD)
         return QueryContext(q_num, cb_i8, profile, bias)
 
+    def init_profile_query(self, prof_entry) -> QueryContext:
+        """Query context for a DBTYPE_HMM_PROFILE entry.
+
+        ssw_init profile branch (StripedSmithWaterman.cpp:1388-1407): the
+        column scores are the profile's alignment scores (pssm/4, X row 0),
+        no composition bias, and the byte-kernel bias is |min| over the 20
+        amino-acid rows only.
+        """
+        from ..profile.io import alignment_profile
+        L = prof_entry.length
+        prof = alignment_profile(prof_entry, alpha_pad=ALPHA_PAD,
+                                 alphabet_size=self.submat.alphabet_size)
+        bias = abs(min(0, int(prof[:20, :L].min()))) if L else 0
+        pad = bucket_length(L) - L
+        if pad:
+            prof = np.pad(prof, ((0, 0), (0, pad)),
+                          constant_values=-(1 << 20))
+        q_num = prof_entry.query_num.astype(np.int64)
+        cb_i8 = np.zeros(L, dtype=np.int8)
+        return QueryContext(q_num, cb_i8, prof.astype(np.int32), bias)
+
     # -- identity shortcut ---------------------------------------------------
 
     def score_identical(self, ctx: QueryContext, t_num, mode):
         """SmithWaterman::scoreIdentical including the int16 accumulator."""
         L = len(ctx.q_num)
-        per_pos = (self.mat[np.asarray(t_num), ctx.q_num]
-                   + ctx.comp_bias_i8.astype(np.int32))
+        # profile_word_linear[t][pos]: ctx.profile columns cover both the
+        # sequence (mat + bias) and profile (pssm/4) cases
+        per_pos = ctx.profile[np.asarray(t_num), np.arange(L)]
         raw = int(np.cumsum(per_pos.astype(np.int16), dtype=np.int16)[-1]) \
             if L else 0
         ev = self.evaluer.compute_evalue(raw, L)
@@ -225,11 +247,12 @@ class Aligner:
                                             res.qcov, res.dbcov)
             if ev > eval_thr or low_cov:
                 continue   # ssw_align_private early return (mode 1 and 2)
-            q_rev = ctx.q_num[: qe + 1][::-1].copy()
-            cb_rev = ctx.comp_bias_i8[: qe + 1][::-1].copy()
-            rev_profiles.append(make_query_profile(
-                q_rev, self.mat, cb_rev, alpha_pad=ALPHA_PAD,
-                pad_len=bucket_length(qe + 1)))
+            rev = ctx.profile[:, : qe + 1][:, ::-1]
+            pad = bucket_length(qe + 1) - rev.shape[1]
+            if pad:
+                rev = np.pad(rev, ((0, 0), (0, pad)),
+                             constant_values=-(1 << 20))
+            rev_profiles.append(np.ascontiguousarray(rev))
             rev_targets.append(target_seqs[i][: te + 1][::-1].copy())
             rev_rows.append(i)
 
@@ -266,11 +289,12 @@ class Aligner:
 
                 # 4. backtrace (host banded DP) + real sequence identity
                 t_num = target_seqs[i]
-                bt = banded_align(
-                    t_num[res.db_start: res.db_end + 1],
-                    ctx.q_num[res.q_start: res.q_end + 1],
-                    ctx.comp_bias_i8[res.q_start: res.q_end + 1],
-                    res.raw_score, self.go, self.ge, self.mat)
+                t_win = t_num[res.db_start: res.db_end + 1]
+                q_idx = np.arange(res.q_start, res.q_end + 1)
+                s_win = ctx.profile[np.asarray(t_win)[None, :],
+                                    q_idx[:, None]]
+                bt = banded_align_scores(t_win, s_win, res.raw_score,
+                                         self.go, self.ge)
                 res.backtrace = bt
                 res.aln_length = len(bt)
                 q_win = ctx.q_num[res.q_start:]

@@ -57,22 +57,48 @@ def align(par, command):
     qdb_path, tdb_path, pref_path, out_path = par.filenames[:4]
     same_db = qdb_path == tdb_path
 
-    submat = get_sub_mat(par)
+    submat = get_sub_mat(par, score_bias=par.score_bias)
     qreader = open_seq_db(qdb_path)
     treader = qreader if same_db else open_seq_db(tdb_path)
-    qdb = EncodedDB(qreader, submat)
-    tdb = qdb if same_db else EncodedDB(treader, submat)
+    query_is_profile = qreader.base_type == dbt.DBTYPE_HMM_PROFILE
+    qdb = None if query_is_profile else EncodedDB(qreader, submat)
+    tdb = (qdb if same_db and not query_is_profile
+           else EncodedDB(treader, submat))
     prefdb = DBReader(pref_path)
 
+    # mode escalation + realign setup (Alignment.cpp:35-56,90)
     alignment_mode = par.alignment_mode
-    if par.add_backtrace:
+    add_backtrace = par.add_backtrace
+    if add_backtrace:
         alignment_mode = ALIGNMENT_MODE_SCORE_COV_SEQID
+    realign = par.realign
+    cov_thr = par.cov_thr
+    realign_sw_mode = None
+    realign_cov = 0.0
+    if realign:
+        if query_is_profile:
+            log.die("Cannot realign query profiles")
+        realign_sw_mode = init_sw_mode(
+            max(alignment_mode, ALIGNMENT_MODE_SCORE_COV), 0.0, 0.0)
+        alignment_mode = ALIGNMENT_MODE_SCORE_ONLY
+        realign_cov = cov_thr
+        cov_thr = 0.0
+        if not add_backtrace:
+            log.warning("Turn on backtrace for realign.")
+            add_backtrace = True
     sw_mode = init_sw_mode(alignment_mode, par.cov_thr, par.min_seq_id)
 
     evaluer = EvalueComputation(treader.total_residues(), submat,
                                 par.gap_open.aa, par.gap_extend.aa)
     aligner = Aligner(submat, par.gap_open.aa, par.gap_extend.aa, evaluer,
                       par.comp_bias_corr, par.comp_bias_corr_scale)
+    realigner = aligner
+    if realign and par.realign_score_bias != 0.0:
+        realign_mat = get_sub_mat(
+            par, score_bias=par.score_bias + par.realign_score_bias)
+        realigner = Aligner(realign_mat, par.gap_open.aa, par.gap_extend.aa,
+                            evaluer, par.comp_bias_corr,
+                            par.comp_bias_corr_scale)
 
     writer = DBWriter(out_path, dbt.DBTYPE_ALIGNMENT_RES)
     total_passed = 0
@@ -84,8 +110,14 @@ def align(par, command):
         if data:
             hit_keys, _, _ = parse_prefilter_entry(data)
             qid = qreader.get_id(query_key)
-            ctx = aligner.init_query(qdb.seq_num(qid))
-            q_len = qdb.seq_len(qid)
+            if query_is_profile:
+                from ..profile.io import parse_profile
+                prof_entry = parse_profile(qreader.get_data(qid))
+                ctx = aligner.init_profile_query(prof_entry)
+                q_len = prof_entry.length
+            else:
+                ctx = aligner.init_query(qdb.seq_num(qid))
+                q_len = qdb.seq_len(qid)
 
             # canBeCovered pre-gate (counts as a rejection in the replay)
             cand, pre_rejected = [], []
@@ -95,7 +127,7 @@ def align(par, command):
                     log.die(f"Sequence {key} required by the prefilter result "
                             f"is missing from the target database")
                 t_len = tdb.seq_len(tid)
-                if not autil.can_be_covered(par.cov_thr, par.cov_mode,
+                if not autil.can_be_covered(cov_thr, par.cov_mode,
                                             float(q_len), float(t_len)):
                     pre_rejected.append(key)
                     cand.append(None)
@@ -110,7 +142,7 @@ def align(par, command):
             tseqs = [tdb.seq_num(t) for t in tids]
             results = aligner.align_query(
                 ctx, keys, tseqs, tlens, ident, sw_mode,
-                par.cov_mode, par.cov_thr, par.evalue, par.seq_id_mode)
+                par.cov_mode, cov_thr, par.evalue, par.seq_id_mode)
             aln_num += len(results)
 
             # replay the accept/reject loop in prefilter order
@@ -126,21 +158,54 @@ def align(par, command):
                     continue
                 res = results[ri]
                 is_identity = ident[ri]
+                tid_of = tids[ri]
                 ri += 1
                 if is_identity:
                     res.qcov, res.dbcov, res.seq_id = 1.0, 1.0, 1.0
                 if check_criteria(res, is_identity, par.evalue,
                                   par.min_seq_id, par.min_aln_len,
-                                  par.cov_mode, par.cov_thr):
-                    accepted.append(res)
+                                  par.cov_mode, cov_thr):
+                    accepted.append((res, tid_of, is_identity))
                     passed += 1
                     total_passed += 1
                     rejected = 0
                 else:
                     rejected += 1
             if len(accepted) > 1:
-                sort_results(accepted)
-            lines = [r.to_line(par.add_backtrace) for r in accepted]
+                order = sort_results([a[0] for a in accepted])
+                by_id = {id(a[0]): a for a in accepted}
+                accepted = [by_id[id(r)] for r in order]
+            final = [a[0] for a in accepted]
+
+            if realign and accepted:
+                # second pass: recompute boundaries with the biased matrix,
+                # keep score/eval from the first pass
+                # (Alignment.cpp:408-445)
+                rctx = realigner.init_query(qdb.seq_num(qid))
+                r_keys = [r.db_key for r, _, _ in accepted]
+                r_tids = [t for _, t, _ in accepted]
+                r_ident = [i for _, _, i in accepted]
+                r_tseqs = [tdb.seq_num(t) for t in r_tids]
+                r_tlens = [tdb.seq_len(t) for t in r_tids]
+                rres = realigner.align_query(
+                    rctx, r_keys, r_tseqs, r_tlens, r_ident,
+                    realign_sw_mode, par.cov_mode, realign_cov,
+                    float("inf"), par.seq_id_mode)
+                final = []
+                for k, (first, _, is_identity) in enumerate(accepted):
+                    if len(final) >= par.realign_max_seqs:
+                        break
+                    res = rres[k]
+                    cov_ok = autil.has_coverage(realign_cov, par.cov_mode,
+                                                res.qcov, res.dbcov)
+                    if cov_ok or is_identity:
+                        res.score = first.score
+                        res.raw_score = first.raw_score
+                        res.eval = first.eval
+                        final.append(res)
+                if len(final) > 1:
+                    sort_results(final)
+            lines = [r.to_line(add_backtrace) for r in final]
         writer.write(query_key, "".join(lines).encode())
     writer.close()
     log.info(f"{aln_num} alignments calculated, {total_passed} sequence pairs "

@@ -120,6 +120,54 @@ def mergedbs(par, command):
     return 0
 
 
+def subtractdbs(par, command):
+    """out[key] = lines of left[key] whose target is NOT in right[key].
+
+    Reference src/util/subtractdbs.cpp: only lines with E-value <= the
+    min(--e, --e-profile) threshold survive on either side; a left line
+    above the threshold is dropped outright (its lookup entry stays false).
+    Left entries iterate in file-offset order (LINEAR_ACCCESS).
+    """
+    import numpy as np
+
+    from .common import fast_atoi
+
+    left_path, right_path, out_path = par.filenames[:3]
+    eval_thr = min(par.evalue, par.e_profile)
+    left = DBReader(left_path)
+    right = DBReader(right_path)
+
+    def entry_evals(data):
+        out = []
+        for line in data.split(b"\n"):
+            if not line:
+                continue
+            parts = line.split(b"\t")
+            ev = float(parts[3]) if len(parts) >= 10 else 0.0
+            out.append((fast_atoi(parts[0]), ev, line))
+        return out
+
+    order = np.argsort(left.offsets, kind="stable")
+    with DBWriter(out_path, left.base_type, left.extended_type) as w:
+        for i in order:
+            key = left.get_db_key(int(i))
+            lookup = {}
+            lines = entry_evals(left.get_data(int(i)))
+            for t_key, ev, _ in lines:
+                if ev <= eval_thr:
+                    lookup[t_key] = True
+            rj = right.get_id(key)
+            if rj >= 0:
+                for t_key, ev, _ in entry_evals(right.get_data(rj)):
+                    if ev <= eval_thr:
+                        lookup[t_key] = False
+            out = [ln for t_key, _, ln in lines if lookup.get(t_key, False)]
+            w.write(key, b"".join(ln + b"\n" for ln in out))
+    left.close()
+    right.close()
+    return 0
+
+
 def concatdbs(par, command):
     a, b, out = par.filenames[:3]
     ra, rb = DBReader(a), DBReader(b)

@@ -25,11 +25,16 @@ INT_MAX = 2147483647
 
 
 def get_kmer_threshold(sensitivity: float, kmer_size: int,
-                       k_score: int = INT_MAX) -> int:
-    """Prefiltering::getKmerThreshold, sequence-query branch."""
+                       k_score: int = INT_MAX,
+                       is_profile: bool = False) -> int:
+    """Prefiltering::getKmerThreshold (Prefiltering.cpp:1036-1090)."""
     if k_score != INT_MAX:
         return k_score
-    base_sens = {5: (160.75, 12.75), 6: (163.2, 8.917), 7: (186.15, 11.22)}
+    if is_profile:
+        # no-context-pseudo-counts profile branch
+        base_sens = {5: (108.8, 4.7), 6: (134.35, 6.15), 7: (149.15, 6.85)}
+    else:
+        base_sens = {5: (160.75, 12.75), 6: (163.2, 8.917), 7: (186.15, 11.22)}
     if kmer_size not in base_sens:
         raise ValueError(f"invalid k-mer size {kmer_size}")
     base, per = base_sens[kmer_size]
@@ -72,29 +77,40 @@ def prefilter_kmer(par, command):
     qdb_path, tdb_path, out_path = par.filenames[:3]
     same_db = qdb_path == tdb_path
 
-    seed = get_submat(par.seed_sub_mat.aa, 8.0, -0.2)
-    ungapped = get_submat(par.sub_mat.aa, 2.0, -0.2)
     qreader = open_seq_db(qdb_path)
+    query_is_profile = qreader.base_type == dbt.DBTYPE_HMM_PROFILE
+    if query_is_profile:
+        # profile queries use the scoring matrix for target background only
+        # (Prefiltering.cpp:72-77); index k-mer threshold is 0 (:555-557)
+        seed = get_submat(par.sub_mat.aa, 8.0, -0.2)
+    else:
+        seed = get_submat(par.seed_sub_mat.aa, 8.0, -0.2)
+    ungapped = get_submat(par.sub_mat.aa, 2.0, -0.2)
     treader = qreader if same_db else open_seq_db(tdb_path)
-    qdb = EncodedDB(qreader, seed)
-    tdb = qdb if same_db else EncodedDB(treader, seed)
+    qdb = None if query_is_profile else EncodedDB(qreader, seed)
+    tdb = qdb if same_db and not query_is_profile else EncodedDB(treader, seed)
 
     kmer_size = par.kmer_size or compute_kmer_size(treader.total_residues())
     kmer_thr = get_kmer_threshold(par.sensitivity, kmer_size,
-                                  par.k_score.aa)
+                                  par.k_score.aa,
+                                  is_profile=query_is_profile)
     log.info(f"k-mer similarity threshold: {kmer_thr} (k = {kmer_size})")
 
     spaced = par.spaced_kmer_mode == 1
-    table = build_index(tdb, seed, kmer_size, kmer_thr,
+    table = build_index(tdb, seed, kmer_size,
+                        0 if query_is_profile else kmer_thr,
                         par.mask == 1, par.mask_prob,
                         par.mask_lower_case == 1, spaced,
                         par.spaced_kmer_pattern)
     log.info(f"Index table: {len(table.entries_seq)} k-mer positions")
 
     alpha = seed.alphabet_size - 1
-    three = SubKmerScores(seed.sub_matrix, alpha, 3)
-    two = SubKmerScores(seed.sub_matrix, alpha, 2)
-    generator = KmerGenerator(kmer_size, alpha, three, two)
+    if query_is_profile:
+        generator = None      # built per query from the profile's rows
+    else:
+        three = SubKmerScores(seed.sub_matrix, alpha, 3)
+        two = SubKmerScores(seed.sub_matrix, alpha, 2)
+        generator = KmerGenerator(kmer_size, alpha, three, two)
 
     matcher = QueryMatcher(
         table, seed, ungapped, kmer_thr, kmer_size, par.max_seqs,
@@ -102,16 +118,32 @@ def prefilter_kmer(par, command):
         par.min_ungapped_score, generator)
 
     writer = DBWriter(out_path, dbt.DBTYPE_PREFILTER_RES)
-    for qid in range(qdb.size):
+    for qid in range(qreader.size):
         q_key = qreader.get_db_key(qid)
         identity_id = -1
         if same_db or par.include_identity:
             tid = treader.get_id(q_key)
             if tid >= 0:
                 identity_id = tid
-        hits = matcher.match(qdb.seq_num(qid), identity_id,
-                             diagonal_scoring=bool(par.diag_score))
-        q_len = float(qreader.get_seq_len(qid))
+        if query_is_profile:
+            from ..prefilter.kmer_generator import ProfileKmerGenerator
+            from ..profile.io import kmer_rows, parse_profile
+            p = parse_profile(qreader.get_data(qid))
+            ss, si = kmer_rows(p)
+            matcher.generator = ProfileKmerGenerator(
+                kmer_size, alpha, ss, si, table.offsets_pat)
+            # (L, 21) diagonal-rescore profile: pssm/4 trunc, X column 0
+            s = p.scores.astype(np.int64)
+            rescore = np.zeros((p.length, alpha + 1), dtype=np.int64)
+            rescore[:, :20] = np.sign(s) * (np.abs(s) // 4)
+            hits = matcher.match(p.query_num.astype(np.int64), identity_id,
+                                 diagonal_scoring=bool(par.diag_score),
+                                 rescore_profile=rescore)
+            q_len = float(p.length)
+        else:
+            hits = matcher.match(qdb.seq_num(qid), identity_id,
+                                 diagonal_scoring=bool(par.diag_score))
+            q_len = float(qreader.get_seq_len(qid))
         check_cov = par.cov_thr > 0.0 and par.cov_mode in (0, 2, 5)
         lines = []
         for tid, score, diag in hits:

@@ -53,7 +53,8 @@ def gather_msa_input(par, aligner, ctx, qdb, tdb, treader, query_key, data,
         if key == query_key and same_db:
             continue
         evalue = float(parts[3]) if len(parts) >= 4 else 0.0
-        if evalue >= par.e_profile:
+        # evalProfile = min(-e, --e-profile)  (result2profile.cpp:33)
+        if evalue >= min(par.evalue, par.e_profile):
             continue
         h = parse_aln_line(parts)
         if not h.backtrace:
@@ -93,11 +94,20 @@ def result2profile(par, command):
 
     qid = int(float(par.qid.split(",")[0]) * 100)
     writer = DBWriter(out_path, dbt.DBTYPE_HMM_PROFILE)
+    query_is_profile = qreader.base_type == dbt.DBTYPE_HMM_PROFILE
     for i in range(res.size):
         query_key = res.get_db_key(i)
         qid_local = qreader.get_id(query_key)
-        q_num = qdb.seq_num(qid_local)
-        ctx = aligner.init_query(q_num)
+        if query_is_profile:
+            # profile query (blastpgp iterations >= 2): the MSA center is the
+            # profile's query letters (Sequence::mapProfile numSequence)
+            from ..profile.io import parse_profile
+            prof_entry = parse_profile(qreader.get_data(qid_local))
+            q_num = prof_entry.query_num.astype(np.int64)
+            ctx = aligner.init_profile_query(prof_entry)
+        else:
+            q_num = qdb.seq_num(qid_local)
+            ctx = aligner.init_query(q_num)
         hits = gather_msa_input(par, aligner, ctx, qdb, tdb, treader,
                                 query_key, res.get_data(i), same_db)
         edge_seqs = [tdb.seq_num(treader.get_id(h.db_key)) for h in hits]

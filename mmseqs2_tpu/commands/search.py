@@ -31,6 +31,9 @@ def search(par, command):
     if not par.was_set("sensitivity"):
         par.set("sensitivity", 5.7)
 
+    if par.num_iterations > 1:
+        return _search_iterative(par, wf, qdb, tdb, out_aln)
+
     sens_steps = par.sens_steps if par.was_set("start_sens") else 1
     target_sens = par.sensitivity
     start_sens = min(par.start_sens, target_sens)
@@ -66,6 +69,65 @@ def search(par, command):
                 current_q = next_q
         if not_exists(out_aln):
             _merge_alignments(qdb, aln_steps, out_aln)
+    if par.remove_tmp_files:
+        wf.cleanup(True)
+    return 0
+
+
+def _search_iterative(par, wf, qdb, tdb, out_aln):
+    """PSI-BLAST-style iterative profile search.
+
+    Reference: data/workflow/blastpgp.sh + Search.cpp:477-525. Per
+    iteration: prefilter -> subtract previously-aligned targets -> align ->
+    merge into the running alignment set -> result2profile becomes the next
+    query. Iteration 0 aligns with --realign; intermediate iterations use
+    min(-e, --e-profile) as the alignment E-value threshold; the last
+    restores the caller's -e. subtractdbs keeps the pre-loop threshold
+    (SUBSTRACT_PAR is built before the E-value override, Search.cpp:478).
+    """
+    num_it = par.num_iterations
+    original_eval = par.evalue
+    eval_profile = min(par.evalue, par.e_profile)
+
+    current_q = qdb
+    for step in range(num_it):
+        last = step == num_it - 1
+        step_eval = original_eval if last else eval_profile
+
+        if step == 0:
+            pref = wf.path("pref_0")
+            wf.step(pref, "prefilter",
+                    [current_q, tdb, pref, "-s", par.sensitivity], par)
+        else:
+            pref_tmp = wf.path(f"pref_tmp_{step}")
+            wf.step(pref_tmp, "prefilter",
+                    [current_q, tdb, pref_tmp, "-s", par.sensitivity], par)
+            pref = wf.path(f"pref_{step}")
+            wf.step(pref, "subtractdbs",
+                    [pref_tmp, wf.path(f"aln_{step - 1}"), pref,
+                     "-e", original_eval, "--e-profile", par.e_profile],
+                    par)
+
+        aln_tmp = wf.path("aln_0" if step == 0 else f"aln_tmp_{step}")
+        align_args = [current_q, tdb, pref, aln_tmp,
+                      "-e", step_eval, "-a", "1",
+                      "--realign", "1" if step == 0 else "0"]
+        wf.step(aln_tmp, "align", align_args, par)
+
+        if step == 0:
+            aln = aln_tmp
+        else:
+            aln = out_aln if last else wf.path(f"aln_{step}")
+            wf.step(aln, "mergedbs",
+                    [current_q, aln, wf.path(f"aln_{step - 1}"), aln_tmp],
+                    par)
+
+        if not last:
+            profdb = wf.path(f"profile_{step}")
+            wf.step(profdb, "result2profile",
+                    [current_q, tdb, aln, profdb, "-e", eval_profile], par)
+            current_q = profdb
+
     if par.remove_tmp_files:
         wf.cleanup(True)
     return 0

@@ -34,13 +34,19 @@ def banded_align(db_win, q_win, comp_bias_win, score, gap_open, gap_extend,
     score: the known optimal score (from the device SW pass).
     Returns backtrace string of 'M'/'I'/'D' (query-consuming = M/I).
     """
-    dbL = len(db_win)
-    qL = len(q_win)
-    go = int(gap_open)
-    ge = int(gap_extend)
-    # substitution scores for the window: s[i, j]
     s_win = (sub_matrix[q_win][:, db_win].astype(np.int64)
              + np.asarray(comp_bias_win, dtype=np.int64)[:, None])
+    return banded_align_scores(db_win, s_win, score, gap_open, gap_extend)
+
+
+def banded_align_scores(db_win, s_win, score, gap_open, gap_extend):
+    """Backtrace for one alignment window from a precomputed (qLen, dbLen)
+    per-cell score matrix (substitution columns or profile columns)."""
+    dbL = len(db_win)
+    s_win = np.asarray(s_win, dtype=np.int64)
+    qL = s_win.shape[0]
+    go = int(gap_open)
+    ge = int(gap_extend)
 
     band_width = abs(dbL - qL) + 1
     while True:

@@ -205,7 +205,7 @@ _A("--search-type", "search_type", int, 0,
 _A("--db-output", "db_output", bool, False, "write DB instead of flat file")
 
 # -- profiles ----------------------------------------------------------------------
-_A("--e-profile", "e_profile", float, 0.001, "profile inclusion E-value")
+_A("--e-profile", "e_profile", float, 0.1, "profile inclusion E-value")
 _A("--filter-msa", "filter_msa", int, 1, "filter MSA before PSSM")
 _A("--max-seq-id", "filter_max_seq_id", float, 0.9, "MSA max pairwise seq id")
 _A("--qsc", "qsc", float, -20.0, "MSA min score per aligned residue")

@@ -90,49 +90,92 @@ class KmerGenerator:
         self.tables = {2: two, 3: three}
         self.powers = kmer_powers(alpha, kmer_size)
 
-    def generate(self, kmer_letters: np.ndarray, threshold: int):
-        """All similar k-mer indices (reference order) with score >= threshold."""
+    def generate(self, kmer_letters: np.ndarray, threshold: int,
+                 pos: int = 0):
+        """All similar k-mer indices (reference order) with score >= threshold.
+
+        `pos` (the window's query position) is unused for sequence queries;
+        the profile generator keys its rows off it."""
         rows = []
         mults = []
-        pos = 0
+        off = 0
         for step in self.steps:
             table = self.tables[step]
-            sub_idx = int(kmer_letters[pos: pos + step].astype(np.int64)
+            sub_idx = int(kmer_letters[off: off + step].astype(np.int64)
                           @ table.powers)
             rows.append(table.row(sub_idx))
-            mults.append(int(self.powers[pos]))
-            pos += step
-        n = len(rows)
-        highest = [int(r[0][0]) for r in rows]
-        possible_rest = [0] * n
-        for i in range(n - 1, 0, -1):
-            possible_rest[i - 1] = highest[i] + possible_rest[i]
+            mults.append(int(self.powers[off]))
+            off += step
+        return _enumerate_products(rows, mults, threshold, self.MAX_RESULT)
 
-        cutoff1 = threshold - possible_rest[0]
-        s0, i0 = rows[0]
-        m = int(np.searchsorted(-s0, -cutoff1, side="right"))
-        cur_scores = s0[:m].astype(np.int64)
-        cur_index = i0[:m] * mults[0]
 
-        for step_i in range(n - 1):
-            if len(cur_scores) == 0:
-                break
-            s_next, i_next = rows[step_i + 1]
-            rest = possible_rest[step_i + 1]
-            cutoff2 = threshold - cur_scores - rest          # per candidate
-            counts = np.searchsorted(-s_next, -cutoff2, side="right")
-            total = int(counts.sum())
-            if total == 0:
-                cur_scores = np.zeros(0, dtype=np.int64)
-                cur_index = np.zeros(0, dtype=np.int64)
-                break
-            rep = np.repeat(np.arange(len(cur_scores)), counts)
-            # within-candidate j index: 0..counts[i]-1
-            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-            j = np.arange(total) - np.repeat(starts, counts)
-            cur_scores = cur_scores[rep] + s_next[j].astype(np.int64)
-            cur_index = cur_index[rep] + i_next[j] * mults[step_i + 1]
-            if total >= self.MAX_RESULT:
-                cur_scores = cur_scores[: self.MAX_RESULT]
-                cur_index = cur_index[: self.MAX_RESULT]
-        return cur_index
+class ProfileKmerGenerator:
+    """Per-position k-mer enumeration for DBTYPE_HMM_PROFILE queries.
+
+    Reference: KmerGenerator::setDivideStrategy(ScoreMatrix **one)
+    (KmerGenerator.cpp:31-40) + Sequence::nextProfileKmer — each window
+    position contributes its rankedDescSort20-sorted 20-letter score row;
+    the same score-cutoff cartesian product enumerates all k-mers whose
+    summed per-position profile score reaches the threshold.
+    """
+
+    MAX_RESULT = KmerGenerator.MAX_RESULT
+
+    def __init__(self, kmer_size: int, alpha: int,
+                 sorted_scores: np.ndarray, sorted_idx: np.ndarray,
+                 offsets: np.ndarray):
+        self.k = kmer_size
+        self.alpha = alpha
+        self.scores = sorted_scores.astype(np.int64)   # (L, 20) desc
+        self.idx = sorted_idx.astype(np.int64)         # (L, 20)
+        self.offsets = np.asarray(offsets, dtype=np.int64)
+        self.powers = kmer_powers(alpha, kmer_size)
+
+    def generate(self, kmer_letters: np.ndarray, threshold: int,
+                 pos: int = 0):
+        rows = [(self.scores[pos + int(o)], self.idx[pos + int(o)])
+                for o in self.offsets]
+        mults = [int(self.powers[j]) for j in range(self.k)]
+        return _enumerate_products(rows, mults, threshold, self.MAX_RESULT)
+
+
+def _enumerate_products(rows, mults, threshold, max_result):
+    """KmerGenerator::generateKmerList's cascaded cutoff products.
+
+    rows: per divide step (scores desc, sub-k-mer indices); mults: the
+    little-endian positional multiplier of each step. Output order is
+    prefix-major (calculateArrayProduct's i-outer/j-inner loop)."""
+    n = len(rows)
+    highest = [int(r[0][0]) for r in rows]
+    possible_rest = [0] * n
+    for i in range(n - 1, 0, -1):
+        possible_rest[i - 1] = highest[i] + possible_rest[i]
+
+    cutoff1 = threshold - possible_rest[0]
+    s0, i0 = rows[0]
+    m = int(np.searchsorted(-s0, -cutoff1, side="right"))
+    cur_scores = s0[:m].astype(np.int64)
+    cur_index = i0[:m] * mults[0]
+
+    for step_i in range(n - 1):
+        if len(cur_scores) == 0:
+            break
+        s_next, i_next = rows[step_i + 1]
+        rest = possible_rest[step_i + 1]
+        cutoff2 = threshold - cur_scores - rest          # per candidate
+        counts = np.searchsorted(-s_next, -cutoff2, side="right")
+        total = int(counts.sum())
+        if total == 0:
+            cur_scores = np.zeros(0, dtype=np.int64)
+            cur_index = np.zeros(0, dtype=np.int64)
+            break
+        rep = np.repeat(np.arange(len(cur_scores)), counts)
+        # within-candidate j index: 0..counts[i]-1
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        j = np.arange(total) - np.repeat(starts, counts)
+        cur_scores = cur_scores[rep] + s_next[j].astype(np.int64)
+        cur_index = cur_index[rep] + i_next[j] * mults[step_i + 1]
+        if total >= max_result:
+            cur_scores = cur_scores[:max_result]
+            cur_index = cur_index[:max_result]
+    return cur_index

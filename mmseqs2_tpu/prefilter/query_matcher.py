@@ -88,7 +88,7 @@ class QueryMatcher:
             bias = int(np.trunc(bias_f - 0.5 if bias_f < 0.0
                                 else bias_f + 0.5))
             thr = max(self.kmer_thr - bias, 0)
-            similar = self.generator.generate(window, thr)
+            similar = self.generator.generate(window, thr, i)
             kmer_list_len += len(similar)
             if len(similar) == 0:
                 continue
@@ -216,10 +216,17 @@ class QueryMatcher:
     # -- full pipeline --------------------------------------------------------
 
     def match(self, q_num: np.ndarray, identity_id: int = -1,
-              diagonal_scoring: bool = True):
+              diagonal_scoring: bool = True,
+              rescore_profile: np.ndarray = None):
         """Returns list of hit tuples (local target id, prefScore,
-        diagonal i32) in final output order."""
-        if self.aa_bias_corr:
+        diagonal i32) in final output order.
+
+        rescore_profile: for DBTYPE_HMM_PROFILE queries, the (L, 21)
+        alignment-scale column scores (pssm/4, X=0). Composition bias is
+        zeroed for profiles (QueryMatcher.cpp:109-117) and the diagonal
+        rescore reads the profile directly (UngappedAlignment.cpp profile
+        branch of createProfile)."""
+        if rescore_profile is None and self.aa_bias_corr:
             comp_bias = calc_local_aa_bias(
                 q_num, self.seed.sub_matrix, self.seed.pback, self.bias_scale)
         else:
@@ -255,7 +262,9 @@ class QueryMatcher:
         ids, diags = self.find_duplicates(ids, diags)
         self.stats.double_matches = len(ids)
 
-        prof = self.make_rescore_profile(q_num, comp_bias)
+        prof = (rescore_profile.astype(np.int64)
+                if rescore_profile is not None
+                else self.make_rescore_profile(q_num, comp_bias))
         counts = self.diagonal_scores(prof, ids, diags) if len(ids) else \
             np.zeros(0, dtype=np.int64)
 

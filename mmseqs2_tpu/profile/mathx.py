@@ -10,17 +10,18 @@ import numpy as np
 
 
 def flog2(x):
+    # the reference's polynomial constants are DOUBLE literals (no f suffix,
+    # MathUtil.h:107-119): the polynomial evaluates in float64 and only the
+    # final `x *= poly` product is narrowed back to float32
     x = np.asarray(x, dtype=np.float32)
     nonpos = x <= 0
     xi = np.where(nonpos, np.float32(1.0), x).view(np.int32)
     e = (((xi & 0x7F800000) >> 23) - 0x7F).astype(np.float32)
     m = ((xi & 0x007FFFFF) | 0x3F800000).view(np.float32)
-    t = m - np.float32(1.0)
-    poly = np.float32(1.441740) + t * (
-        np.float32(-0.7077702) + t * (
-            np.float32(0.4123442) + t * (
-                np.float32(-0.1903190) + t * np.float32(0.0440047))))
-    res = t * poly + e
+    t = (m - np.float32(1.0)).astype(np.float64)
+    poly = 1.441740 + t * (
+        -0.7077702 + t * (0.4123442 + t * (-0.1903190 + t * 0.0440047)))
+    res = (t * poly).astype(np.float32) + e
     return np.where(nonpos, np.float32(-128.0), res).astype(np.float32)
 
 

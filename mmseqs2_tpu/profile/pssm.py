@@ -169,20 +169,28 @@ def compute_context_specific_weights(msa, wg, pback):
                 sl = slice(jmin, jmax + 1)
                 nblock = counts[sl, :ANY]                      # (ncol, 20)
                 naa = (nblock > 0).sum(axis=1).astype(np.float32)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    w_contrib = np.where(
-                        nblock > 0,
-                        np.float32(1.0) / (nblock.astype(np.float32)
-                                           * naa[:, None]),
-                        np.float32(0.0)).astype(np.float32)
+                # w_contrib = 1/(n*naa) via rcpps + one Newton-Raphson
+                # iteration (PSSMCalculator.cpp simdf32_rcp block) — the
+                # approximation differs from an exact divide in the last ulp
+                from ..native import nr_rcp
+                res = (nblock.astype(np.float32)
+                       * naa[:, None]).astype(np.float32)
+                vals = nr_rcp(np.where(nblock > 0, res, np.float32(1.0)))
+                w_contrib = np.where(nblock > 0, vals,
+                                     np.float32(0.0)).astype(np.float32)
                 # wi[k] = sum over j of w_contrib[j, X[k, j]]
                 for k in range(n):
                     if X[k, i] >= ANY:
                         continue
                     xs = X[k, jmin: jmax + 1]
                     valid = xs < ANY
-                    wi[k] = np.float32(np.float32(1e-8) + fsum32(
-                        w_contrib[np.nonzero(valid)[0], xs[valid]]))
+                    # the reference seeds wi[k] = 1e-8 and then += each
+                    # w_contrib term in j order — the seed participates in
+                    # the float rounding from the first add on
+                    terms = np.concatenate(
+                        [[np.float32(1e-8)],
+                         w_contrib[np.nonzero(valid)[0], xs[valid]]])
+                    wi[k] = fsum32(terms)
             # Neff at i
             f = np.zeros((ncol if ncol > 0 else 0, ANY), dtype=np.float32)
             if ncol > 0:
@@ -221,16 +229,46 @@ def compute_context_specific_weights(msa, wg, pback):
 
 
 def prepare_pseudo_counts(freq, R):
-    """R: (20, 20) float32 conditional matrix; freq (L, 20)."""
-    return (freq @ R.T.astype(np.float32)).astype(np.float32)
+    """R: (20, 20) float32 conditional matrix; freq (L, 20).
+
+    PSSMCalculator::preparePseudoCounts uses ScalarProd20
+    (lib/simd/simd.h:905, SSE path): per 4-float lane
+    lane_j = ((p_j + p_{4+j}) + (p_{8+j} + p_{12+j})) + p_{16+j},
+    then (lane0+lane1) + (lane2+lane3) — replicate that float32 summation
+    tree exactly (a plain matmul's pairwise sums differ by 1 ulp on
+    occasion, which flips the +-0.5 rounding in the 8-bit profile)."""
+    from ..native import scalar_prod20
+    native = scalar_prod20(R, freq)
+    if native is not None:
+        return native
+    f = freq.astype(np.float32)
+    Rf = R.astype(np.float32)
+    L = f.shape[0]
+    prod = (f[:, None, :] * Rf[None, :, :]).astype(np.float32)
+    p = prod.reshape(L, PROFILE_AA_SIZE, 5, 4)
+    r12 = ((p[:, :, 0] + p[:, :, 1]) + (p[:, :, 2] + p[:, :, 3])).astype(
+        np.float32)
+    lane = (r12 + p[:, :, 4]).astype(np.float32)
+    res = ((lane[..., 0] + lane[..., 1])
+           + (lane[..., 2] + lane[..., 3])).astype(np.float32)
+    return res
 
 
 def compute_pseudo_counts(freq, freq_pc, neff, pca, pcb):
-    tau = np.minimum(np.float32(1.0),
-                     np.float32(pca) / (np.float32(1.0)
-                                        + neff / np.float32(pcb)))
-    return (tau[:, None] * freq_pc
-            + (np.float32(1.0) - tau)[:, None] * freq).astype(np.float32)
+    """PSSMCalculator::computePseudoCounts — note the mixed precision:
+    tau = (float)fmin(1.0, (double)pca / (1.0 + (double)(float)(Neff/pcb)));
+    pseudo = tau * fpc (float); signal = (double)(1.0 - tau) * freq, cast
+    back to float; profile = signal + pseudo (float)."""
+    nf = (neff.astype(np.float32) / np.float32(pcb)).astype(np.float32)
+    tau = np.minimum(
+        np.float64(1.0),
+        np.float64(np.float32(pca)) / (np.float64(1.0)
+                                       + nf.astype(np.float64))
+    ).astype(np.float32)
+    pseudo = (tau[:, None] * freq_pc.astype(np.float32)).astype(np.float32)
+    signal = ((np.float64(1.0) - tau.astype(np.float64))[:, None]
+              * freq.astype(np.float64)).astype(np.float32)
+    return (signal + pseudo).astype(np.float32)
 
 
 def compute_consensus(freq, pback, num2aa):
@@ -249,8 +287,10 @@ def compute_consensus(freq, pback, num2aa):
 
 
 def compute_log_pssm(freq, pback, bit_factor=8.0, score_bias=0.0):
-    pb = pback[:PROFILE_AA_SIZE].astype(np.float32)
-    logp = flog2((freq / pb[None, :]).astype(np.float32))
+    # aaProb / subMat->pBack[aa]: float / DOUBLE -> double, then narrowed to
+    # float at the flog2(float) call boundary (computeLogPSSM)
+    pb = pback[:PROFILE_AA_SIZE].astype(np.float64)
+    logp = flog2((freq.astype(np.float64) / pb[None, :]).astype(np.float32))
     v = np.float32(bit_factor) * logp + np.float32(bit_factor * score_bias)
     v = np.where(v < 0.0, v - np.float32(0.5), v + np.float32(0.5))
     # C: float -> char conversion truncates toward zero

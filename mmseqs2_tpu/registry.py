@@ -97,6 +97,9 @@ COMMANDS: List[Command] = [
     Command("mergedbs", "db_tools", "mergedbs", CAT_DB,
             "Merge entries of multiple DBs",
             "mergedbs <DB> <outDB> <DB1> ... <DBn>", 4, 0),
+    Command("subtractdbs", "db_tools", "subtractdbs", CAT_DB,
+            "Remove all entries of a result DB found in another result DB",
+            "subtractdbs <resultDBLeft> <resultDBRight> <outDB>", 3, 3),
     Command("concatdbs", "db_tools", "concatdbs", CAT_DB,
             "Concatenate two DBs",
             "concatdbs <DB1> <DB2> <outDB>", 3, 3),

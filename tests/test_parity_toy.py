@@ -173,3 +173,86 @@ def test_cluster_workflow_parity(tmp_path):
     got = entries_by_key(out)
     want = entries_by_key(str(GOLDEN / "casclu"))
     assert got == want
+
+
+# -- iterative (PSI-BLAST-style) search stages --------------------------------
+# goldens generated with: mmseqs search qdb qdb italn tmp --num-iterations 2
+# --threads 1 (see golden/README.md); it_* are the blastpgp.sh intermediates.
+
+def test_subtractdbs_parity(tmp_path):
+    out = str(tmp_path / "pref_1")
+    run_cmd("subtractdbs", [str(GOLDEN / "it_pref_tmp_1"),
+                            str(GOLDEN / "it_aln_0"), out,
+                            "-e", "0.001", "--e-profile", "0.1"])
+    assert entries_by_key(out) == entries_by_key(str(GOLDEN / "it_pref_1"))
+
+
+def test_mergedbs_parity(tmp_path):
+    out = str(tmp_path / "italn")
+    run_cmd("mergedbs", [str(GOLDEN / "it_profile_0"), out,
+                         str(GOLDEN / "it_aln_0"),
+                         str(GOLDEN / "it_aln_tmp_1")])
+    assert open(out, "rb").read() == open(GOLDEN / "italn", "rb").read()
+    assert (open(out + ".index", "rb").read()
+            == open(GOLDEN / "italn.index", "rb").read())
+
+
+@pytest.mark.slow
+def test_realign_parity(tmp_path):
+    """align --realign (blastpgp iteration 0): score-only first pass plus
+    boundary recomputation with the -0.2-biased matrix."""
+    out = str(tmp_path / "aln_0")
+    run_cmd("align", [str(GOLDEN / "qdb"), str(GOLDEN / "qdb"),
+                      str(GOLDEN / "it_pref_0"), out,
+                      "-a", "1", "--realign", "1", "-e", "0.001"])
+    assert entries_by_key(out) == entries_by_key(str(GOLDEN / "it_aln_0"))
+
+
+@pytest.mark.slow
+def test_result2profile_from_realign_parity(tmp_path):
+    out = str(tmp_path / "profile_0")
+    run_cmd("result2profile", [str(GOLDEN / "qdb"), str(GOLDEN / "qdb"),
+                               str(GOLDEN / "it_aln_0"), out, "-e", "0.001"])
+    got = entries_by_key(out)
+    want = entries_by_key(str(GOLDEN / "it_profile_0"))
+    assert sorted(got) == sorted(want)
+    bad = [k for k in want if got[k] != want[k]]
+    assert not bad, f"{len(bad)} profiles differ: {bad[:5]}"
+
+
+@pytest.mark.slow
+def test_profile_query_prefilter_parity(tmp_path):
+    out = str(tmp_path / "pref_tmp_1")
+    run_cmd("prefilter", [str(GOLDEN / "it_profile_0"), str(GOLDEN / "qdb"),
+                          out, "-s", "5.7"])
+    assert entries_by_key(out) == entries_by_key(
+        str(GOLDEN / "it_pref_tmp_1"))
+
+
+@pytest.mark.slow
+def test_profile_query_align_parity(tmp_path):
+    out = str(tmp_path / "aln_tmp_1")
+    run_cmd("align", [str(GOLDEN / "it_profile_0"), str(GOLDEN / "qdb"),
+                      str(GOLDEN / "it_pref_1"), out, "-a", "1",
+                      "-e", "0.001"])
+    assert entries_by_key(out) == entries_by_key(
+        str(GOLDEN / "it_aln_tmp_1"))
+
+
+@pytest.mark.slow
+def test_result2profile_profile_query_parity(tmp_path):
+    """result2profile with a PROFILE query DB (blastpgp iteration >= 2).
+
+    Golden: 3-iteration reference search; profile_1 is built from profile_0
+    (profile query) + the merged iteration-1 alignments."""
+    prof0 = str(tmp_path / "profile_0")
+    run_cmd("result2profile", [str(GOLDEN / "qdb"), str(GOLDEN / "qdb"),
+                               str(GOLDEN / "it_aln_0"), prof0,
+                               "-e", "0.001"])
+    out = str(tmp_path / "profile_1")
+    run_cmd("result2profile", [prof0, str(GOLDEN / "qdb"),
+                               str(GOLDEN / "it3_aln_1"), out, "-e", "0.001"])
+    got = entries_by_key(out)
+    want = entries_by_key(str(GOLDEN / "it3_profile_1"))
+    bad = [k for k in want if got.get(k) != want[k]]
+    assert not bad, f"{len(bad)} profiles differ: {bad[:5]}"
