@@ -52,20 +52,30 @@ def _cummax_lanes(x, lq):
 
 def _sw_kernel(profile_ref, targets_ref, score_ref, qend_ref, tend_ref,
                h_ref, hng_ref, e_ref, best_ref, bq_ref, bt_ref,
-               *, lq, lt, go, ge, gapless, cap):
+               *, lq, lt, go, ge, gapless, cap, pack):
     bt_tile = h_ref.shape[0]
-    h_ref[:] = jnp.zeros_like(h_ref)
-    hng_ref[:] = jnp.zeros_like(hng_ref)
-    e_ref[:] = jnp.zeros_like(e_ref)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bt_tile, lq), 1)
+    lanef = lane.astype(jnp.float32)
+    # gapped state lives in "ramped space" (X' = X + lane*ge): the lazy-F
+    # cummax then runs directly on Hng' with constant-only corrections,
+    # saving the per-step ramp add/subtract
+    ramp = lanef * jnp.float32(ge)
+    zero_floor = jnp.zeros_like(ramp) if gapless else ramp
+    h_ref[:] = zero_floor
+    if not gapless:
+        hng_ref[:] = ramp
+        e_ref[:] = ramp + jnp.float32(NEG)
     best_ref[:] = jnp.zeros_like(best_ref)
     bq_ref[:] = jnp.full_like(bq_ref, lq - 1)
     bt_ref[:] = jnp.full_like(bt_ref, -1)
 
     prof = profile_ref[:]                        # (A, Lq) f32
     alpha = prof.shape[0]
-    ramp = jax.lax.broadcasted_iota(jnp.int32, (bt_tile, lq), 1) \
-        .astype(jnp.float32) * jnp.float32(ge)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (bt_tile, lq), 1)
+    pk = 1024
+    while pk < lq:
+        pk *= 2
+    PK = jnp.float32(pk)
+    lanepart = PK - jnp.float32(1.0) - lanef     # (pk-1) - lane
 
     def step(j, _):
         chars = targets_ref[j, :]                # (BT,) int32
@@ -74,22 +84,34 @@ def _sw_kernel(profile_ref, targets_ref, score_ref, qend_ref, tend_ref,
                   ).astype(jnp.float32)
         s = jnp.dot(onehot, prof, preferred_element_type=jnp.float32)
         h = h_ref[:]
-        diag = _shift_lanes(h, jnp.float32(0)) + s
         if gapless:
+            diag = _shift_lanes(h, jnp.float32(0)) + s
             hnew = jnp.clip(diag, 0.0, jnp.float32(cap))
+            htrue = hnew
         else:
+            # ramped: diag'[i] = h'[i-1] + s + ge; boundary h'(-1) = -ge
+            diag = _shift_lanes(h, jnp.float32(-ge)) + (s + jnp.float32(ge))
             e = jnp.maximum(hng_ref[:] - go, e_ref[:] - ge)
-            hng = jnp.maximum(0.0, jnp.maximum(diag, e))
-            run = _cummax_lanes(hng + ramp, lq)
-            f = _shift_lanes(run, jnp.float32(NEG)) - jnp.float32(go) \
-                - ramp + jnp.float32(ge)
+            hng = jnp.maximum(ramp, jnp.maximum(diag, e))
+            run = _cummax_lanes(hng, lq)
+            f = _shift_lanes(run, jnp.float32(NEG)) - jnp.float32(go - ge)
             hnew = jnp.maximum(hng, f)
             e_ref[:] = e
             hng_ref[:] = hng
+            htrue = hnew - ramp
         h_ref[:] = hnew
-        colmax = jnp.max(hnew, axis=1, keepdims=True)      # (BT, 1)
-        amax = jnp.min(jnp.where(hnew == colmax, lane, lq),
-                       axis=1, keepdims=True)              # first max index
+        if pack:
+            # single packed reduce; decode keeps the strict-H update so a
+            # tie on H keeps the earlier column j (reference tie-break)
+            cand = htrue * PK + lanepart
+            candmax = jnp.max(cand, axis=1, keepdims=True)
+            colmax = jnp.floor(candmax / PK)
+            amax = (PK - jnp.float32(1.0)
+                    - (candmax - colmax * PK)).astype(jnp.int32)
+        else:
+            colmax = jnp.max(htrue, axis=1, keepdims=True)
+            amax = jnp.min(jnp.where(htrue == colmax, lane, lq),
+                           axis=1, keepdims=True)          # first max index
         better = colmax > best_ref[:]
         bt_ref[:] = jnp.where(better, j, bt_ref[:])
         bq_ref[:] = jnp.where(better, amax, bq_ref[:])
@@ -102,8 +124,6 @@ def _sw_kernel(profile_ref, targets_ref, score_ref, qend_ref, tend_ref,
     tend_ref[:] = bt_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("go", "ge", "gapless", "cap",
-                                             "interpret"))
 def sw_pallas(profile, targets_t, go=11, ge=1, gapless=False, cap=255,
               interpret=False):
     """Batched SW (or gapless) scores + end positions for ONE query profile.
@@ -115,9 +135,32 @@ def sw_pallas(profile, targets_t, go=11, ge=1, gapless=False, cap=255,
     Returns (score (B,), qend (B,), tend (B,)) int32, matching dp.sw_scan /
     dp.gapless_scan semantics.
     """
+    # packed (score,qend) tracking is exact while score*PK + (PK-1) < 2^24
+    # (f32 integer range), PK = the lane count rounded up to a power of two;
+    # computed on the host so it can be a static kernel parameter
+    lq = profile.shape[1]
+    pk = 1024
+    while pk < lq:
+        pk *= 2
+    if gapless:
+        max_score_bound = cap
+    else:
+        max_score_bound = int(np.asarray(profile).max()) * lq
+    pack = 0 <= max_score_bound < (1 << 24) // pk - 1
+    return _sw_pallas_jit(profile, targets_t, go=go, ge=ge, gapless=gapless,
+                          cap=cap, pack=pack, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("go", "ge", "gapless", "cap",
+                                             "pack", "interpret"))
+def _sw_pallas_jit(profile, targets_t, go, ge, gapless, cap, pack,
+                   interpret):
     alpha, lq = profile.shape
     lt, b = targets_t.shape
-    BT = 256 if b >= 256 else max(8, b)
+    BT = 512 if b >= 512 else max(8, b)
+    # VMEM: 3 state arrays + targets block must fit the 16M scoped limit
+    while BT * lq * 4 * 3 + lt * BT * 4 > 12 * 1024 * 1024 and BT > 8:
+        BT //= 2
     nb = -(-b // BT)
     pad_b = nb * BT - b
     if pad_b:
@@ -126,7 +169,7 @@ def sw_pallas(profile, targets_t, go=11, ge=1, gapless=False, cap=255,
     prof_f = profile.astype(jnp.float32)
 
     kernel = functools.partial(_sw_kernel, lq=lq, lt=lt, go=go, ge=ge,
-                               gapless=gapless, cap=cap)
+                               gapless=gapless, cap=cap, pack=pack)
     out_shape = [jax.ShapeDtypeStruct((nb * BT, 1), jnp.int32)] * 3
     score, qend, tend = pl.pallas_call(
         kernel,
