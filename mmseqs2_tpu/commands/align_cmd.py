@@ -57,9 +57,12 @@ def align(par, command):
     qdb_path, tdb_path, pref_path, out_path = par.filenames[:4]
     same_db = qdb_path == tdb_path
 
-    submat = get_sub_mat(par, score_bias=par.score_bias)
     qreader = open_seq_db(qdb_path)
     treader = qreader if same_db else open_seq_db(tdb_path)
+    query_is_nucl = qreader.base_type == dbt.DBTYPE_NUCLEOTIDES
+    if query_is_nucl:
+        return _align_nucl(par, qreader, treader, same_db)
+    submat = get_sub_mat(par, score_bias=par.score_bias)
     query_is_profile = qreader.base_type == dbt.DBTYPE_HMM_PROFILE
     qdb = None if query_is_profile else EncodedDB(qreader, submat)
     tdb = (qdb if same_db and not query_is_profile
@@ -210,4 +213,82 @@ def align(par, command):
     writer.close()
     log.info(f"{aln_num} alignments calculated, {total_passed} sequence pairs "
              f"passed the thresholds")
+    return 0
+
+
+def _align_nucl(par, qreader, treader, same_db):
+    """Nucleotide gapped alignment: ungapped diagonal seed + ksw2 Z-drop
+    extension per prefilter hit (Matcher::getSWResult nucleotide branch;
+    alignment mode is always SCORE_COV_SEQID)."""
+    from ..align.nucl_aligner import NuclAligner
+
+    qdb_path, tdb_path, pref_path, out_path = par.filenames[:4]
+    submat = get_sub_mat(par, nucl=True, bit_factor=1.0,
+                         score_bias=par.score_bias)
+    qdb = EncodedDB(qreader, submat)
+    tdb = qdb if same_db else EncodedDB(treader, submat)
+    prefdb = DBReader(pref_path)
+    is_rev_pref = prefdb.base_type == dbt.DBTYPE_PREFILTER_REV_RES
+
+    evaluer = EvalueComputation(treader.total_residues(), submat,
+                                par.gap_open.nucl, par.gap_extend.nucl)
+    aligner = NuclAligner(submat, par.gap_open.nucl, par.gap_extend.nucl,
+                          par.zdrop, evaluer)
+
+    writer = DBWriter(out_path, dbt.DBTYPE_ALIGNMENT_RES)
+    total_passed = 0
+    aln_num = 0
+    for pid in range(prefdb.size):
+        query_key = prefdb.get_db_key(pid)
+        data = prefdb.get_data(pid)
+        lines = []
+        if data:
+            hit_keys, _, hit_diags = parse_prefilter_entry(data)
+            qid = qreader.get_id(query_key)
+            q_num = qdb.seq_num(qid)
+            q_len = qdb.seq_len(qid)
+            aligner.init_query(q_num)
+
+            accepted = []
+            passed = 0
+            rejected = 0
+            for key, diag in zip(hit_keys, hit_diags):
+                if passed >= par.max_accept or rejected >= par.max_rejected:
+                    break
+                tid = treader.get_id(key)
+                if tid < 0:
+                    log.die(f"Sequence {key} required by the prefilter "
+                            f"result is missing from the target database")
+                t_len = tdb.seq_len(tid)
+                if not autil.can_be_covered(par.cov_thr, par.cov_mode,
+                                            float(q_len), float(t_len)):
+                    rejected += 1
+                    continue
+                res = aligner.align(tdb.seq_num(tid), diag, is_rev_pref)
+                res.db_key = key
+                aln_num += 1
+                res.seq_id = float(autil.compute_seq_id(
+                    par.seq_id_mode, res.aa_ids, q_len, t_len,
+                    len(res.backtrace) if res.backtrace
+                    else res.aln_length))
+                is_identity = (same_db and key == query_key) or \
+                    (par.include_identity and key == query_key)
+                if is_identity:
+                    res.qcov, res.dbcov, res.seq_id = 1.0, 1.0, 1.0
+                if check_criteria(res, is_identity, par.evalue,
+                                  par.min_seq_id, par.min_aln_len,
+                                  par.cov_mode, par.cov_thr):
+                    accepted.append(res)
+                    passed += 1
+                    total_passed += 1
+                    rejected = 0
+                else:
+                    rejected += 1
+            if len(accepted) > 1:
+                sort_results(accepted)
+            lines = [r.to_line(par.add_backtrace) for r in accepted]
+        writer.write(query_key, "".join(lines).encode())
+    writer.close()
+    log.info(f"{aln_num} alignments calculated, {total_passed} sequence "
+             f"pairs passed the thresholds")
     return 0

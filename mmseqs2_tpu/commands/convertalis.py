@@ -82,7 +82,14 @@ class AlnRecord:
         r.db_start = int(parts[7])
         r.db_end = int(parts[8])
         r.db_len = int(parts[9])
-        r.backtrace = parts[10].decode() if len(parts) > 10 else ""
+        # column counts (Matcher::parseAlignmentRecord): 10 plain, 11 with
+        # backtrace, 14 with ORF positions, 15 with ORF positions+backtrace
+        if len(parts) == 11:
+            r.backtrace = parts[10].decode()
+        elif len(parts) >= 15:
+            r.backtrace = parts[14].decode()
+        else:
+            r.backtrace = ""
         return r
 
     @property

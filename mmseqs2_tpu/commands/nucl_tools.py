@@ -1,0 +1,318 @@
+"""Nucleotide search support commands: extractframes, splitsequence,
+offsetalignment.
+
+Reference: src/util/extractframes.cpp, src/util/splitsequence.cpp,
+src/util/offsetalignment.cpp + src/commons/Orf.cpp header format
+(`key\\tfrom±len[\\tincomplete]`).
+"""
+
+import os
+
+import numpy as np
+
+from ..db import dbtype as dbt
+from ..db.reader import DBReader
+from ..db.writer import DBWriter
+from ..utils import log
+from .common import fast_atoi
+
+DB_KEY_INVALID = (1 << 64) - 1
+
+COMPLEMENT = bytes.maketrans(
+    b"ACGTUacgtuNnRYKMrykmBVDHbvdhSWsw",
+    b"TGCAAtgcaaNnYRMKyrmkVBHDvbhdSWsw")
+
+
+def write_orf_header(key: int, from_pos: int, to_pos: int,
+                     incomplete_start=False, incomplete_end=False) -> bytes:
+    sign = "+" if from_pos < to_pos else "-"
+    length = abs(from_pos - to_pos)
+    out = f"{key}\t{from_pos}{sign}{length}"
+    complete = int(incomplete_start) | (int(incomplete_end) << 1)
+    if complete:
+        out += f"\t{complete}"
+    return (out + "\n").encode()
+
+
+def parse_orf_header(header: bytes):
+    """Orf::parseOrfHeader -> (id, from, to, strand_minus) or None."""
+    parts = header.split()
+    if len(parts) < 2:
+        return None
+    loc = parts[1]
+    pos = 0
+    while pos < len(loc) and loc[pos:pos + 1].isdigit():
+        pos += 1
+    if pos == 0 or pos >= len(loc) or loc[pos:pos + 1] not in (b"+", b"-"):
+        return None
+    is_plus = loc[pos:pos + 1] == b"+"
+    rest = loc[pos + 1:]
+    if not rest or not rest.isdigit():
+        return None
+    from_pos = int(loc[:pos])
+    length = int(rest)
+    to_pos = from_pos + length if is_plus else from_pos - length
+    return (fast_atoi(parts[0]), from_pos, to_pos, not is_plus)
+
+
+def _get_frames(spec: str) -> set:
+    return {int(f) for f in spec.split(",") if f.strip()} if spec else set()
+
+
+def extractframes(par, command):
+    """Extract forward/reverse(-complement) frames of every sequence; output
+    keys are renumbered 0..N-1 in write order, headers carry the original
+    key + frame coordinates (extractframes.cpp)."""
+    in_path, out_path = par.filenames[:2]
+    reader = DBReader(in_path)
+    hreader = DBReader(in_path + "_h")
+    fwd = _get_frames(par.forward_frames)
+    rev = _get_frames(par.reverse_frames)
+
+    new_key = 0
+    with DBWriter(out_path, reader.base_type, reader.extended_type) as w, \
+            DBWriter(out_path + "_h", dbt.DBTYPE_GENERIC_DB) as wh, \
+            open(out_path + ".lookup", "w") as lk:
+        for i in range(reader.size):
+            key = reader.get_db_key(i)
+            seq = reader.get_seq(i)
+            seq_len = len(seq)
+            for frame in (1, 2, 3):
+                if frame not in fwd:
+                    continue
+                sub = seq[frame - 1:]
+                w.write(new_key, sub + b"\n")
+                wh.write(new_key, write_orf_header(key, frame - 1,
+                                                   seq_len - 1))
+                lk.write(f"{new_key}\t{key}\t0\n")
+                new_key += 1
+            if rev:
+                rc = seq[::-1].translate(COMPLEMENT)
+            for frame in (1, 2, 3):
+                if frame not in rev:
+                    continue
+                sub = rc[frame - 1:]
+                w.write(new_key, sub + b"\n")
+                wh.write(new_key, write_orf_header(key, seq_len - 1,
+                                                   frame - 1))
+                lk.write(f"{new_key}\t{key}\t0\n")
+                new_key += 1
+    reader.close()
+    hreader.close()
+    # source file softlink equivalent
+    if os.path.exists(in_path + ".source"):
+        import shutil
+        shutil.copyfile(in_path + ".source", out_path + ".source")
+    return 0
+
+
+def splitsequence(par, command):
+    """Split sequences longer than --max-seq-len into overlapping chunks
+    (hard mode); a no-op softlink when nothing exceeds the limit."""
+    in_path, out_path = par.filenames[:2]
+    max_len = par.max_seq_len if par.was_set("max_seq_len") else 10000
+    overlap = par.sequence_overlap if par.was_set("sequence_overlap") else 300
+
+    reader = DBReader(in_path)
+    if all(reader.get_seq_len(i) <= max_len for i in range(reader.size)):
+        # softlinkDb(..., DBFiles::SEQUENCE_DB): link sequence + header dbs
+        reader.close()
+        for suf in ("", ".index", ".dbtype", ".lookup", ".source",
+                    "_h", "_h.index", "_h.dbtype"):
+            src = in_path + suf
+            dst = out_path + suf
+            if os.path.exists(src):
+                if os.path.lexists(dst):
+                    os.remove(dst)
+                os.symlink(os.path.abspath(src), dst)
+        return 0
+
+    hreader = DBReader(in_path + "_h")
+    new_key = 0
+    with DBWriter(out_path, reader.base_type, reader.extended_type) as w, \
+            DBWriter(out_path + "_h", dbt.DBTYPE_GENERIC_DB) as wh:
+        for i in range(reader.size):
+            key = reader.get_db_key(i)
+            seq = reader.get_seq(i)
+            seq_len = len(seq)
+            header = hreader.get_data(hreader.get_id(key))
+            loc = None if par.headers_split_mode else parse_orf_header(header)
+            if loc is not None:
+                base_key = loc[0]
+                from_pos = loc[2] if loc[3] else loc[1]
+                strand_minus = loc[3]
+            else:
+                base_key = key
+                from_pos = 0
+                strand_minus = False
+            split_cnt = int(np.ceil(np.float32(seq_len)
+                                    / np.float32(max_len - overlap)))
+            for split in range(split_cnt):
+                start = split * max_len - split * overlap
+                length = min(max_len, seq_len - start)
+                w.write(new_key, seq[start:start + length] + b"\n")
+                if strand_minus:
+                    wh.write(new_key, write_orf_header(
+                        base_key, from_pos - start,
+                        from_pos - start - (length - 1)))
+                else:
+                    wh.write(new_key, write_orf_header(
+                        base_key, from_pos + start,
+                        from_pos + start + length - 1))
+                new_key += 1
+    reader.close()
+    hreader.close()
+    return 0
+
+
+def _read_aln_line(line: bytes):
+    """Parse an alignment line into a mutable dict (compressed backtrace is
+    expanded, readAlignmentResults(readCompressed=true))."""
+    from .result2profile import expand_cigar
+    p = line.split(b"\t")
+    res = {
+        "dbKey": fast_atoi(p[0]), "score": int(p[1]), "seqId": p[2],
+        "eval": p[3], "qStart": int(p[4]), "qEnd": int(p[5]),
+        "qLen": int(p[6]), "dbStart": int(p[7]), "dbEnd": int(p[8]),
+        "dbLen": int(p[9]),
+        "backtrace": expand_cigar(p[10].decode()) if len(p) > 10 else "",
+        "qOrfStart": -1, "qOrfEnd": -1, "dbOrfStart": -1, "dbOrfEnd": -1,
+    }
+    return res
+
+
+def _res_to_line(r) -> str:
+    # resultToBuffer re-formats seqId/eval from the parsed floats
+    from ..align import util as autil
+    cols = [str(r["dbKey"]), str(r["score"]),
+            autil.fast_seq_id_str(np.float32(float(r["seqId"]))),
+            autil.format_evalue(float(r["eval"])),
+            str(r["qStart"]), str(r["qEnd"]),
+            str(r["qLen"]), str(r["dbStart"]), str(r["dbEnd"]),
+            str(r["dbLen"]), str(r["qOrfStart"]), str(r["qOrfEnd"]),
+            str(r["dbOrfStart"]), str(r["dbOrfEnd"])]
+    if r["backtrace"]:
+        cols.append(r["backtrace"])
+    return "\t".join(cols) + "\n"
+
+
+def offsetalignment(par, command):
+    """Map ORF/frame/split coordinates in an alignment DB back to the
+    original (source) sequences; one output entry per source contig."""
+    qsrc, qorf, tsrc, torf, aln_path, out_path = par.filenames[:6]
+
+    q_nucl = DBReader(qsrc).base_type == dbt.DBTYPE_NUCLEOTIDES
+    t_nucl = DBReader(tsrc).base_type == dbt.DBTYPE_NUCLEOTIDES
+    search_type = par.search_type
+    seqtarget_nuc = True
+    if search_type == 2:          # translated
+        seqtarget_nuc = False
+    elif search_type == 3:
+        seqtarget_nuc = True
+    is_nucl_nucl = q_nucl and t_nucl and seqtarget_nuc
+    is_trans = (not is_nucl_nucl) and t_nucl
+
+    qsrc_r = DBReader(qsrc)
+    qorf_h = DBReader(qorf + "_h")
+    torf_h = qorf_h if qorf == torf else DBReader(torf + "_h")
+    tsrc_r = qsrc_r if tsrc == qsrc else DBReader(tsrc)
+    aln = DBReader(aln_path)
+
+    def update(results, data, qloc):
+        for line in data.split(b"\n"):
+            if not line:
+                continue
+            r = _read_aln_line(line)
+            tid = torf_h.get_id(r["dbKey"])
+            theader = torf_h.get_data(tid)
+            tloc = parse_orf_header(theader)
+            if is_nucl_nucl or is_trans:
+                r["dbKey"] = tloc[0] if tloc else r["dbKey"]
+                if tloc:
+                    from_pos = tloc[1]
+                    strand_minus = tloc[3]
+                    to_pos = tloc[2]
+                else:
+                    strand_minus = False
+                    from_pos = r["dbLen"] - 1 if strand_minus else 0
+                    to_pos = 0
+                db_s = r["dbStart"] if is_nucl_nucl else r["dbStart"] * 3
+                db_e = r["dbEnd"] if is_nucl_nucl else r["dbEnd"] * 3
+                r["dbOrfStart"] = from_pos
+                r["dbOrfEnd"] = to_pos
+                if tloc and tloc[3]:
+                    r["dbStart"] = from_pos - db_s
+                    r["dbEnd"] = from_pos - db_e
+                    if not is_nucl_nucl:
+                        r["dbEnd"] -= 2
+                else:
+                    r["dbStart"] = from_pos + db_s
+                    r["dbEnd"] = from_pos + db_e
+                    if not is_nucl_nucl:
+                        r["dbEnd"] += 2
+            if qloc is not None:
+                q_s = r["qStart"] if is_nucl_nucl else r["qStart"] * 3
+                q_e = r["qEnd"] if is_nucl_nucl else r["qEnd"] * 3
+                from_pos = qloc[1]
+                r["qOrfStart"] = from_pos
+                r["qOrfEnd"] = qloc[2]
+                if qloc[3]:
+                    r["qStart"] = from_pos - q_s
+                    r["qEnd"] = from_pos - q_e
+                    if not is_nucl_nucl:
+                        r["qEnd"] -= 2
+                else:
+                    r["qStart"] = from_pos + q_s
+                    r["qEnd"] = from_pos + q_e
+                    if not is_nucl_nucl:
+                        r["qEnd"] += 2
+            results.append(r)
+
+    # orf key -> contig key via the query ORF headers
+    contig_orfs = {}
+    for i in range(aln.size):
+        orf_key = aln.get_db_key(i)
+        qid = qorf_h.get_id(orf_key)
+        if qid < 0:
+            continue
+        loc = parse_orf_header(qorf_h.get_data(qid))
+        contig = loc[0] if loc else orf_key
+        contig_orfs.setdefault(contig, []).append(orf_key)
+
+    with DBWriter(out_path, dbt.DBTYPE_ALIGNMENT_RES) as w:
+        if q_nucl:
+            for i in range(qsrc_r.size):
+                contig = qsrc_r.get_db_key(i)
+                q_len = qsrc_r.get_seq_len(i)
+                results = []
+                for orf_key in contig_orfs.get(contig, []):
+                    oid = aln.get_id(orf_key)
+                    if oid < 0:
+                        continue
+                    qid = qorf_h.get_id(orf_key)
+                    qloc = parse_orf_header(qorf_h.get_data(qid))
+                    update(results, aln.get_data(oid), qloc)
+                for r in results:
+                    r["qLen"] = q_len
+                    tid = tsrc_r.get_id(r["dbKey"])
+                    if tid >= 0:
+                        r["dbLen"] = tsrc_r.get_seq_len(tid)
+                # stable sort by compareHits (eval, -score, dbLen, dbKey)
+                results.sort(key=lambda r: (float(r["eval"]), -r["score"],
+                                            r["dbLen"], r["dbKey"]))
+                w.write(contig, "".join(
+                    _res_to_line(r) for r in results).encode())
+        else:
+            for i in range(aln.size):
+                qkey = aln.get_db_key(i)
+                results = []
+                update(results, aln.get_data(i), None)
+                for r in results:
+                    tid = tsrc_r.get_id(r["dbKey"])
+                    if tid >= 0:
+                        r["dbLen"] = tsrc_r.get_seq_len(tid)
+                results.sort(key=lambda r: (float(r["eval"]), -r["score"],
+                                            r["dbLen"], r["dbKey"]))
+                w.write(qkey, "".join(
+                    _res_to_line(r) for r in results).encode())
+    return 0

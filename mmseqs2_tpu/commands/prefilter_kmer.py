@@ -79,34 +79,52 @@ def prefilter_kmer(par, command):
 
     qreader = open_seq_db(qdb_path)
     query_is_profile = qreader.base_type == dbt.DBTYPE_HMM_PROFILE
-    if query_is_profile:
+    query_is_nucl = qreader.base_type == dbt.DBTYPE_NUCLEOTIDES
+    if query_is_nucl:
+        # nucleotide search: 5-letter matrix at 1 bit, no bias
+        # (Prefiltering.cpp:62-66); ungapped rescoring uses the same matrix
+        seed = get_submat(par.sub_mat.nucl, 1.0, 0.0)
+        ungapped = seed
+    elif query_is_profile:
         # profile queries use the scoring matrix for target background only
         # (Prefiltering.cpp:72-77); index k-mer threshold is 0 (:555-557)
         seed = get_submat(par.sub_mat.aa, 8.0, -0.2)
+        ungapped = get_submat(par.sub_mat.aa, 2.0, -0.2)
     else:
         seed = get_submat(par.seed_sub_mat.aa, 8.0, -0.2)
-    ungapped = get_submat(par.sub_mat.aa, 2.0, -0.2)
+        ungapped = get_submat(par.sub_mat.aa, 2.0, -0.2)
     treader = qreader if same_db else open_seq_db(tdb_path)
     qdb = None if query_is_profile else EncodedDB(qreader, seed)
     tdb = qdb if same_db and not query_is_profile else EncodedDB(treader, seed)
+    target_is_nucl = treader.base_type == dbt.DBTYPE_NUCLEOTIDES
 
-    kmer_size = par.kmer_size or compute_kmer_size(treader.total_residues())
-    kmer_thr = get_kmer_threshold(par.sensitivity, kmer_size,
-                                  par.k_score.aa,
-                                  is_profile=query_is_profile)
+    if query_is_nucl:
+        kmer_size = par.kmer_size or 15
+        kmer_thr = 0                       # Prefiltering.cpp:207-216
+    else:
+        kmer_size = par.kmer_size or compute_kmer_size(
+            treader.total_residues())
+        kmer_thr = get_kmer_threshold(par.sensitivity, kmer_size,
+                                      par.k_score.aa,
+                                      is_profile=query_is_profile)
     log.info(f"k-mer similarity threshold: {kmer_thr} (k = {kmer_size})")
+
+    # exact k-mer matching (takeOnlyBestKmer, Prefiltering.cpp:188-192)
+    take_only_best = (par.exact_kmer_matching == 1
+                      or (query_is_nucl and target_is_nucl))
 
     spaced = par.spaced_kmer_mode == 1
     table = build_index(tdb, seed, kmer_size,
-                        0 if query_is_profile else kmer_thr,
+                        0 if (query_is_profile or query_is_nucl)
+                        else kmer_thr,
                         par.mask == 1, par.mask_prob,
                         par.mask_lower_case == 1, spaced,
                         par.spaced_kmer_pattern)
     log.info(f"Index table: {len(table.entries_seq)} k-mer positions")
 
     alpha = seed.alphabet_size - 1
-    if query_is_profile:
-        generator = None      # built per query from the profile's rows
+    if query_is_profile or take_only_best:
+        generator = None      # per-query rows / exact match only
     else:
         three = SubKmerScores(seed.sub_matrix, alpha, 3)
         two = SubKmerScores(seed.sub_matrix, alpha, 2)
@@ -115,7 +133,9 @@ def prefilter_kmer(par, command):
     matcher = QueryMatcher(
         table, seed, ungapped, kmer_thr, kmer_size, par.max_seqs,
         par.comp_bias_corr, par.comp_bias_corr_scale,
-        par.min_ungapped_score, generator)
+        par.min_ungapped_score, generator,
+        take_only_best_kmer=take_only_best,
+        is_nucleotide=target_is_nucl)
 
     writer = DBWriter(out_path, dbt.DBTYPE_PREFILTER_RES)
     for qid in range(qreader.size):

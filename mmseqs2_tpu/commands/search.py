@@ -24,12 +24,25 @@ def search(par, command):
     qdb, tdb, out_aln, tmp = par.filenames[:4]
     wf = Workflow(tmp, par.force_reuse)
 
+    from ..db.reader import DBReader
+    from ..db import dbtype as dbt
+    q_type = DBReader(qdb).base_type
+    t_type = DBReader(tdb).base_type
+    both_nucl = (q_type == dbt.DBTYPE_NUCLEOTIDES
+                 and t_type == dbt.DBTYPE_NUCLEOTIDES)
+
     # EasySearch/Search set SCORE_COV_SEQID; plain search defaults SCORE_COV
     if not par.was_set("alignment_mode") and not par.add_backtrace:
         par.set("alignment_mode", 2)
     # search raises the default prefilter sensitivity (Search.cpp:24)
     if not par.was_set("sensitivity"):
         par.set("sensitivity", 5.7)
+
+    if both_nucl and par.search_type == 3:
+        return _search_nucl(par, wf, qdb, tdb, out_aln)
+    if both_nucl and par.search_type == 0:
+        log.die("Searching with nucleotide query and target database "
+                "requires --search-type 2 (translated) or 3 (nucleotide)")
 
     if par.num_iterations > 1:
         return _search_iterative(par, wf, qdb, tdb, out_aln)
@@ -69,6 +82,54 @@ def search(par, command):
                 current_q = next_q
         if not_exists(out_aln):
             _merge_alignments(qdb, aln_steps, out_aln)
+    if par.remove_tmp_files:
+        wf.cleanup(True)
+    return 0
+
+
+def _search_nucl(par, wf, qdb, tdb, out_aln):
+    """Nucleotide/nucleotide search (data/workflow/blastn.sh +
+    setNuclSearchDefaults, Search.cpp:180-200,595-626): split long target
+    and query sequences, extract query strand frames, run the k-mer
+    prefilter + banded ksw2 alignment, map coordinates back."""
+    # setNuclSearchDefaults (unconditional unless ungapped mode)
+    if par.alignment_mode != 4:
+        par.set("alignment_mode", 3)
+    strand = par.strand if par.was_set("strand") else 2
+    kmer = par.kmer_size if par.was_set("kmer_size") else 15
+    max_seq_len = par.max_seq_len if par.was_set("max_seq_len") else 10000
+
+    target = tdb
+    tsplit = wf.path("target_seqs_split")
+    wf.step(tsplit, "splitsequence",
+            [tdb, tsplit, "--max-seq-len", max_seq_len,
+             "--sequence-overlap", par.sequence_overlap], par)
+    target = tsplit
+
+    query = qdb
+    if strand in (0, 2):
+        frames = wf.path("query_seqs")
+        fwd = "1" if strand == 2 else ""
+        wf.step(frames, "extractframes",
+                [query, frames, "--forward-frames", fwd,
+                 "--reverse-frames", "1"], par)
+        query = frames
+    qsplit = wf.path("query_seqs_split")
+    wf.step(qsplit, "splitsequence",
+            [query, qsplit, "--max-seq-len", max_seq_len,
+             "--sequence-overlap", par.sequence_overlap], par)
+    query = qsplit
+
+    pref = wf.path("pref")
+    wf.step(pref, "prefilter",
+            [query, target, pref, "-k", kmer, "--exact-kmer-matching", "1",
+             "--max-seq-len", max_seq_len, "-s", par.sensitivity], par)
+    aln = wf.path("aln")
+    wf.step(aln, "align",
+            [query, target, pref, aln, "--alignment-mode",
+             par.alignment_mode, "--max-seq-len", max_seq_len], par)
+    wf.step(out_aln, "offsetalignment",
+            [qdb, query, tdb, target, aln, out_aln], par)
     if par.remove_tmp_files:
         wf.cleanup(True)
     return 0

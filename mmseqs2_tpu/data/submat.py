@@ -157,6 +157,37 @@ class SubstitutionMatrix:
         return bytes(bytearray(ord(self.num2aa[i]) for i in num))
 
 
+class NucleotideMatrix(SubstitutionMatrix):
+    """5-letter ACTGX matrix with the nucleotide ambiguity-code mapping and
+    reverse-complement lookup (reference src/commons/NucleotideMatrix.cpp)."""
+
+    def make_aa2num_table(self) -> np.ndarray:
+        x = self.aa2num["X"]
+        table = np.full(256, x, dtype=np.uint8)
+        groups = {
+            "A": "Aa", "T": "TtUuWw", "G": "GgKkBbDdVvRrSs",
+            "C": "CcMmYyHh",
+        }
+        for base, letters in groups.items():
+            for ch in letters:
+                table[ord(ch)] = self.aa2num[base]
+        return table
+
+    @property
+    def reverse_lookup(self) -> np.ndarray:
+        rl = getattr(self, "_revlut", None)
+        if rl is None:
+            rl = np.arange(self.alphabet_size, dtype=np.uint8)
+            for a, b in (("A", "T"), ("G", "C")):
+                rl[self.aa2num[a]] = self.aa2num[b]
+                rl[self.aa2num[b]] = self.aa2num[a]
+            self._revlut = rl
+        return rl
+
+    def reverse_complement(self, num: np.ndarray) -> np.ndarray:
+        return self.reverse_lookup[np.asarray(num, dtype=np.uint8)][::-1]
+
+
 _CACHE = {}
 
 
@@ -164,5 +195,7 @@ def get_submat(name: str = "blosum62.out", bit_factor: float = 2.0,
                score_bias: float = 0.0) -> SubstitutionMatrix:
     key = (name, bit_factor, score_bias)
     if key not in _CACHE:
-        _CACHE[key] = SubstitutionMatrix(name, bit_factor, score_bias)
+        cls = (NucleotideMatrix if "nucleotide" in name
+               else SubstitutionMatrix)
+        _CACHE[key] = cls(name, bit_factor, score_bias)
     return _CACHE[key]

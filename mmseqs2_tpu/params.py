@@ -222,6 +222,34 @@ _A("--msa-format-mode", "msa_format_mode", int, 2,
    "result2msa output: 2: FASTA MSA, 5/6: a3m")
 _A("--skip-query", "skip_query", bool, False, "skip the query sequence")
 
+# -- nucleotide / translated search ------------------------------------------------
+_A("--strand", "strand", int, 1, "strand: 0 reverse, 1 forward, 2 both")
+_A("--forward-frames", "forward_frames", str, "1,2,3", "forward frames")
+_A("--reverse-frames", "reverse_frames", str, "1,2,3", "reverse frames")
+_A("--translate", "translate", int, 0, "translate ORF to amino acids")
+_A("--sequence-overlap", "sequence_overlap", int, 0,
+   "overlap between split sequences")
+_A("--sequence-split-mode", "sequence_split_mode", int, 1,
+   "0: soft-link split, 1: hard copy split")
+_A("--headers-split-mode", "headers_split_mode", int, 0,
+   "0: original headers, 1: position headers")
+_A("--merge-query", "merge_query", int, 1, "combine ORFs+contigs")
+_A("--chain-alignments", "chain_alignments", int, 0, "chain alignments")
+_A("--orf-start-mode", "orf_start_mode", int, 1,
+   "0: from start to stop, 1: any to stop, 2: longest ORF")
+_A("--min-length", "orf_min_length", int, 30, "min codons in ORF")
+_A("--max-length", "orf_max_length", int, 32734, "max codons in ORF")
+_A("--max-gaps", "orf_max_gaps", int, 2147483647, "max ORF gaps")
+_A("--contig-start-mode", "contig_start_mode", int, 2,
+   "contig start: 0 incomplete, 1 complete, 2 both")
+_A("--contig-end-mode", "contig_end_mode", int, 2,
+   "contig end: 0 incomplete, 1 complete, 2 both")
+_A("--orf-filter", "orf_filter", int, 1, "prefilter ORFs before search")
+_A("--orf-filter-e", "orf_filter_e", float, 100.0, "ORF filter evalue")
+_A("--orf-filter-s", "orf_filter_s", float, 2.0, "ORF filter sensitivity")
+_A("--use-all-table-starts", "use_all_table_starts", bool, False,
+   "use all codons in table as ORF start")
+
 # -- workflow --------------------------------------------------------------------------
 _A("--start-sens", "start_sens", float, 4.0, "start sensitivity")
 _A("--sens-steps", "sens_steps", int, 1, "number of search steps")

@@ -125,10 +125,21 @@ class KmerIndexTable:
         # CSR: stable sort by kmer preserves seq-id order within lists
         order = np.argsort(kmers, kind="stable")
         kmers, seqs, poss = kmers[order], seqs[order], poss[order]
-        counts = np.bincount(kmers, minlength=self.table_size) \
-            if len(kmers) else np.zeros(self.table_size, dtype=np.int64)
-        self.offsets = np.concatenate([[0], np.cumsum(counts)]).astype(
-            np.int64)
+        self.sparse = self.table_size > (1 << 26)
+        if self.sparse:
+            # 4^15-sized dense offsets would need GBs; store the sorted
+            # unique k-mers + CSR offsets and binary-search lookups instead
+            self.uniq_kmers, counts = (np.unique(kmers, return_counts=True)
+                                       if len(kmers)
+                                       else (np.zeros(0, np.int64),
+                                             np.zeros(0, np.int64)))
+            self.offsets = np.concatenate([[0], np.cumsum(counts)]).astype(
+                np.int64)
+        else:
+            counts = np.bincount(kmers, minlength=self.table_size) \
+                if len(kmers) else np.zeros(self.table_size, dtype=np.int64)
+            self.offsets = np.concatenate([[0], np.cumsum(counts)]).astype(
+                np.int64)
         self.entries_seq = seqs.astype(np.int64)
         self.entries_pos = poss.astype(np.uint16)
         self.masked_seqs = masked_seqs
@@ -138,6 +149,17 @@ class KmerIndexTable:
         """Posting-list spans for a batch of kmer indices.
 
         Returns (starts, counts)."""
+        if getattr(self, "sparse", False):
+            kmer_indices = np.asarray(kmer_indices, dtype=np.int64)
+            if len(self.uniq_kmers) == 0:
+                z = np.zeros(len(kmer_indices), dtype=np.int64)
+                return z, z.copy()
+            slot = np.searchsorted(self.uniq_kmers, kmer_indices)
+            slot = np.minimum(slot, len(self.uniq_kmers) - 1)
+            hit = self.uniq_kmers[slot] == kmer_indices
+            starts = self.offsets[slot]
+            counts = np.where(hit, self.offsets[slot + 1] - starts, 0)
+            return starts, counts
         starts = self.offsets[kmer_indices]
         counts = self.offsets[kmer_indices + 1] - starts
         return starts, counts

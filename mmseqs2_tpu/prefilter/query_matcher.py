@@ -47,7 +47,9 @@ class QueryMatcher:
     def __init__(self, index_table, seed_submat, ungapped_submat,
                  kmer_thr: int, kmer_size: int, max_hits: int,
                  aa_bias_corr: bool = True, bias_scale: float = 1.0,
-                 min_diag_score_thr: int = 15, generator=None):
+                 min_diag_score_thr: int = 15, generator=None,
+                 take_only_best_kmer: bool = False,
+                 is_nucleotide: bool = False):
         self.index = index_table
         self.seed = seed_submat
         self.ungapped = ungapped_submat
@@ -58,6 +60,8 @@ class QueryMatcher:
         self.bias_scale = bias_scale
         self.min_diag_thr = min_diag_score_thr
         self.generator = generator
+        self.take_only_best = take_only_best_kmer
+        self.is_nucleotide = is_nucleotide
         self.x_index = seed_submat.alphabet_size - 1
         self.stats = MatchStats()
         # concatenated masked target array for diagonal rescoring
@@ -88,7 +92,13 @@ class QueryMatcher:
             bias = int(np.trunc(bias_f - 0.5 if bias_f < 0.0
                                 else bias_f + 0.5))
             thr = max(self.kmer_thr - bias, 0)
-            similar = self.generator.generate(window, thr, i)
+            if self.take_only_best:
+                from .kmer_index import kmer_powers
+                similar = np.array(
+                    [int(window @ kmer_powers(self.index.alpha, len(window)))],
+                    dtype=np.int64)
+            else:
+                similar = self.generator.generate(window, thr, i)
             kmer_list_len += len(similar)
             if len(similar) == 0:
                 continue
@@ -226,7 +236,8 @@ class QueryMatcher:
         zeroed for profiles (QueryMatcher.cpp:109-117) and the diagonal
         rescore reads the profile directly (UngappedAlignment.cpp profile
         branch of createProfile)."""
-        if rescore_profile is None and self.aa_bias_corr:
+        if (rescore_profile is None and self.aa_bias_corr
+                and not self.is_nucleotide):
             comp_bias = calc_local_aa_bias(
                 q_num, self.seed.sub_matrix, self.seed.pback, self.bias_scale)
         else:
@@ -267,6 +278,38 @@ class QueryMatcher:
                 else self.make_rescore_profile(q_num, comp_bias))
         counts = self.diagonal_scores(prof, ids, diags) if len(ids) else \
             np.zeros(0, dtype=np.int64)
+
+        if self.is_nucleotide and len(ids):
+            # QueryMatcher.cpp:147-177: sort desc >= minDiagScoreThr; among
+            # an id's saturated (count==255) diagonals, the first (by id
+            # sort) carries the diagonal of the best EXACT rescored one
+            keep = counts >= self.min_diag_thr
+            ids, diags, counts = ids[keep], diags[keep], counts[keep]
+            order = np.argsort(-counts, kind="stable")
+            ids, diags, counts = ids[order], diags[order], counts[order]
+            n_sat = int((counts >= UCHAR_MAX).sum())
+            if n_sat > 1:
+                po = np.argsort(ids[:n_sat], kind="stable")
+                sid = ids[:n_sat][po]
+                sdiag = diags[:n_sat][po]
+                exact = self.diagonal_scores(prof, sid, sdiag, cap=False)
+                new_diag = sdiag.copy()
+                i0 = 0
+                while i0 < n_sat:
+                    j = i0
+                    while j + 1 < n_sat and sid[j + 1] == sid[i0]:
+                        j += 1
+                    if j > i0:
+                        mx = int(exact[i0])
+                        bi = i0
+                        for k2 in range(i0 + 1, j + 1):
+                            if int(exact[k2]) > mx:
+                                mx = int(exact[k2])
+                                bi = k2
+                        new_diag[i0] = sdiag[bi]
+                    i0 = j + 1
+                ids[:n_sat] = sid
+                diags[:n_sat] = new_diag
 
         # keepMaxScoreElementOnly: per id keep max count (first on ties in
         # scan order)

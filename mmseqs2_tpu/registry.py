@@ -97,6 +97,16 @@ COMMANDS: List[Command] = [
     Command("mergedbs", "db_tools", "mergedbs", CAT_DB,
             "Merge entries of multiple DBs",
             "mergedbs <DB> <outDB> <DB1> ... <DBn>", 4, 0),
+    Command("extractframes", "nucl_tools", "extractframes", CAT_UTIL,
+            "Extract frames from a nucleotide sequence DB",
+            "extractframes <seqDB> <outSeqDB>", 2, 2),
+    Command("splitsequence", "nucl_tools", "splitsequence", CAT_UTIL,
+            "Split long sequences into overlapping chunks",
+            "splitsequence <seqDB> <outSeqDB>", 2, 2),
+    Command("offsetalignment", "nucl_tools", "offsetalignment", CAT_UTIL,
+            "Map ORF/frame alignments back to contig coordinates",
+            "offsetalignment <qSrcDB> <qOrfDB> <tSrcDB> <tOrfDB> <alnDB> "
+            "<outDB>", 6, 6),
     Command("subtractdbs", "db_tools", "subtractdbs", CAT_DB,
             "Remove all entries of a result DB found in another result DB",
             "subtractdbs <resultDBLeft> <resultDBRight> <outDB>", 3, 3),

@@ -256,3 +256,52 @@ def test_result2profile_profile_query_parity(tmp_path):
     want = entries_by_key(str(GOLDEN / "it3_profile_1"))
     bad = [k for k in want if got.get(k) != want[k]]
     assert not bad, f"{len(bad)} profiles differ: {bad[:5]}"
+
+
+# -- nucleotide search (blastn) -----------------------------------------------
+NUCL = pathlib.Path(__file__).parent / "golden" / "nucl"
+
+
+def test_nucl_createdb_parity(tmp_path):
+    out = str(tmp_path / "ndb")
+    run_cmd("createdb", [str(NUCL / "NUCL.fasta"), out])
+    for suffix in ("", ".index", ".dbtype"):
+        assert (open(out + suffix, "rb").read()
+                == open(str(NUCL / "ndb") + suffix, "rb").read()), suffix
+
+
+def test_extractframes_parity(tmp_path):
+    out = str(tmp_path / "qf")
+    run_cmd("extractframes", [str(NUCL / "ndb"), out,
+                              "--forward-frames", "1",
+                              "--reverse-frames", "1"])
+    assert open(out, "rb").read() == open(NUCL / "n_query_seqs", "rb").read()
+    assert (open(out + "_h", "rb").read()
+            == open(NUCL / "n_query_seqs_h", "rb").read())
+
+
+@pytest.mark.slow
+def test_nucl_prefilter_parity(tmp_path):
+    out = str(tmp_path / "pref")
+    run_cmd("prefilter", [str(NUCL / "n_query_seqs"), str(NUCL / "ndb"), out,
+                          "-k", "15", "--exact-kmer-matching", "1",
+                          "--max-seq-len", "10000", "-s", "5.7"])
+    assert entries_by_key(out) == entries_by_key(str(NUCL / "n_pref"))
+
+
+@pytest.mark.slow
+def test_nucl_align_parity(tmp_path):
+    out = str(tmp_path / "aln")
+    run_cmd("align", [str(NUCL / "n_query_seqs"), str(NUCL / "ndb"),
+                      str(NUCL / "n_pref"), out, "--alignment-mode", "3",
+                      "--max-seq-len", "10000"])
+    assert entries_by_key(out) == entries_by_key(str(NUCL / "n_aln"))
+
+
+def test_offsetalignment_parity(tmp_path):
+    out = str(tmp_path / "naln")
+    run_cmd("offsetalignment", [str(NUCL / "ndb"), str(NUCL / "n_query_seqs"),
+                                str(NUCL / "ndb"), str(NUCL / "ndb"),
+                                str(NUCL / "n_aln"), out,
+                                "--search-type", "3"])
+    assert entries_by_key(out) == entries_by_key(str(NUCL / "naln"))
