@@ -66,9 +66,13 @@ def compute_seq_id(mode, aa_ids, qlen, tlen, aln_len):
 
 
 def estimate_seq_id_by_score_per_col(score, qlen, tlen):
-    est = (np.float32(score) / np.float32(max(qlen, tlen))) * np.float32(0.1656) \
-        + np.float32(0.1141)
-    return float(np.clip(est, 0.0, 1.0))
+    # Matcher::estimateSeqIdByScorePerCol: float division, then DOUBLE
+    # 0.1656/0.1141 literals — the product/sum run in double before the
+    # final narrowing back to float
+    ratio = np.float32(score) / np.float32(max(qlen, tlen))
+    est = np.float32(np.float64(ratio) * 0.1656 + 0.1141)
+    est = min(est, np.float32(1.0))
+    return float(max(np.float32(0.0), est))
 
 
 def fast_seq_id_str(seq_id) -> str:

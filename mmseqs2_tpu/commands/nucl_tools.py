@@ -316,3 +316,176 @@ def offsetalignment(par, command):
                 w.write(qkey, "".join(
                     _res_to_line(r) for r in results).encode())
     return 0
+
+
+# -- ORF extraction (src/commons/Orf.cpp findForward + extractorfs.cpp) -------
+
+IUPAC_REVCOMP = bytes(
+    ord('.') if c == '.' else ord(c)
+    for c in ("." * 64
+              + ".TVGH..CD..M.KN...YSAABW.R......"
+              + ".tvgh..cd..m.kn...ysaabw.r......"
+              + "." * 128))
+CHAR_MAX = 127
+
+
+def _find_forward(seq: bytes, frames: set, start_mode: int,
+                  min_len: int, max_len: int, max_gaps: int,
+                  start_codons: set, stop_codons: set, strand_minus: bool):
+    """Orf::findForward state machine. seq is padded with CHAR_MAX bytes."""
+    n = len(seq) - 16                       # true length (padding appended)
+    results = []
+    inside = [True, True, True]
+    has_start = [False, False, False]
+    gaps = [0, 0, 0]
+    length = [0, 0, 0]
+    from_ = [0, 1, 2]
+    upper = bytes(c if c == CHAR_MAX else (c & ~0x20) for c in seq)
+    limit = n - 2
+    for i in range(0, limit, 3):
+        for pos in range(i, i + 3):
+            codon = upper[pos:pos + 3]
+            frame = pos % 3
+            if (frame + 1) not in frames:
+                continue
+            this_incomplete = CHAR_MAX in codon
+            nxt = upper[pos + 3:pos + 6]
+            is_last = (not this_incomplete) and (CHAR_MAX in nxt)
+            if start_mode == 0:          # START_TO_STOP
+                should_start = (not inside[frame]) and codon in start_codons
+            elif start_mode == 1:        # ANY_TO_STOP
+                should_start = not inside[frame]
+            else:                        # LAST_START_TO_STOP
+                should_start = codon in start_codons
+            if should_start:
+                inside[frame] = True
+                has_start[frame] = True
+                from_[frame] = pos
+                gaps[frame] = 0
+                length[frame] = 0
+            stop = codon in stop_codons
+            if inside[frame]:
+                if not stop:
+                    length[frame] += 1
+                if (b'N' in codon
+                        or any(IUPAC_REVCOMP[c] == ord('.') for c in codon)):
+                    gaps[frame] += 1
+            if inside[frame] and (stop or is_last):
+                inside[frame] = False
+                if length[frame] == 0 and stop:
+                    continue
+                to = pos + (2 if (is_last and not stop) else -1)
+                if (gaps[frame] > max_gaps or length[frame] > max_len
+                        or length[frame] < min_len):
+                    continue
+                results.append((from_[frame], to, not has_start[frame],
+                                not stop, strand_minus))
+    return results
+
+
+def _orf_revcomp(seq: bytes) -> bytes:
+    out = bytes(IUPAC_REVCOMP[c] for c in seq[::-1])
+    return out.replace(b'.', b'N')
+
+
+def extractorfs(par, command):
+    """Extract (and optionally translate) ORFs from a nucleotide DB
+    (extractorfs.cpp); output keys renumbered in write order."""
+    from ..data.translate import TranslateNucl
+
+    in_path, out_path = par.filenames[:2]
+    reader = DBReader(in_path)
+    trans = TranslateNucl(par.translation_table)
+    if par.use_all_table_starts:
+        start_codons = {c.encode() for c in trans.get_start_codons()}
+    else:
+        start_codons = {b"ATG"}
+    stop_codons = {c.encode() for c in trans.get_stop_codons()}
+    fwd = _get_frames(par.forward_frames)
+    rev = _get_frames(par.reverse_frames)
+    out_type = (dbt.DBTYPE_AMINO_ACIDS if par.translate
+                else reader.base_type)
+
+    new_key = 0
+    pad = bytes([CHAR_MAX]) * 16
+    with DBWriter(out_path, out_type) as w, \
+            DBWriter(out_path + "_h", dbt.DBTYPE_GENERIC_DB) as wh, \
+            open(out_path + ".lookup", "w") as lk:
+        for i in range(reader.size):
+            key = reader.get_db_key(i)
+            raw = reader.get_seq(i)
+            if len(raw) < 3:
+                continue
+            seq = raw.replace(b'U', b'T').replace(b'u', b't')
+            rc = _orf_revcomp(seq)
+            locs = []
+            if fwd:
+                locs += _find_forward(seq + pad, fwd, par.orf_start_mode,
+                                      par.orf_min_length, par.orf_max_length,
+                                      par.orf_max_gaps, start_codons,
+                                      stop_codons, False)
+            if rev:
+                locs += _find_forward(rc + pad, rev, par.orf_start_mode,
+                                      par.orf_min_length, par.orf_max_length,
+                                      par.orf_max_gaps, start_codons,
+                                      stop_codons, True)
+            L = len(seq)
+            for from_, to, inc_start, inc_end, minus in locs:
+                if par.contig_start_mode < 2 and \
+                        (inc_start == bool(par.contig_start_mode)):
+                    continue
+                if par.contig_end_mode < 2 and \
+                        (inc_end == bool(par.contig_end_mode)):
+                    continue
+                sub = (rc if minus else seq)[from_:to + 1]
+                from_pos, to_pos = from_, to
+                if minus:
+                    from_pos = (L - 1) - from_
+                    to_pos = (L - 1) - to
+                if par.translate:
+                    sub_len = len(sub)
+                    if sub_len % 3 != 0:
+                        sub_len -= sub_len % 3
+                    if sub_len < 3:
+                        continue
+                    if sub_len > 3 * par.max_seq_len:
+                        sub_len = 3 * par.max_seq_len
+                    data = trans.translate(sub[:sub_len])
+                else:
+                    data = sub
+                w.write(new_key, data + b"\n")
+                wh.write(new_key, write_orf_header(key, from_pos, to_pos,
+                                                   inc_start, inc_end))
+                lk.write(f"{new_key}\t{key}\t0\n")
+                new_key += 1
+    reader.close()
+    if os.path.exists(in_path + ".source"):
+        import shutil
+        shutil.copyfile(in_path + ".source", out_path + ".source")
+    return 0
+
+
+def translatenucs(par, command):
+    """Translate a nucleotide sequence DB codon-wise to amino acids
+    (src/util/translatenucs.cpp)."""
+    from ..data.translate import TranslateNucl
+
+    in_path, out_path = par.filenames[:2]
+    reader = DBReader(in_path)
+    trans = TranslateNucl(par.translation_table)
+    with DBWriter(out_path, dbt.DBTYPE_AMINO_ACIDS) as w:
+        for i in range(reader.size):
+            key = reader.get_db_key(i)
+            seq = reader.get_seq(i)
+            codons = (len(seq) // 3) * 3
+            if codons < 3:
+                w.write(key, b"\n")
+                continue
+            w.write(key, trans.translate(seq[:codons]) + b"\n")
+    reader.close()
+    for suf in ("_h", "_h.index", "_h.dbtype"):
+        src, dst = in_path + suf, out_path + suf
+        if os.path.exists(src) and not os.path.exists(dst):
+            import shutil
+            shutil.copyfile(src, dst)
+    return 0

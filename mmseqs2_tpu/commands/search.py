@@ -43,6 +43,11 @@ def search(par, command):
     if both_nucl and par.search_type == 0:
         log.die("Searching with nucleotide query and target database "
                 "requires --search-type 2 (translated) or 3 (nucleotide)")
+    q_nucl = q_type == dbt.DBTYPE_NUCLEOTIDES
+    t_nucl = t_type == dbt.DBTYPE_NUCLEOTIDES
+    if (q_nucl or t_nucl) and (par.search_type in (0, 2) or both_nucl):
+        return _search_translated(par, wf, qdb, tdb, out_aln,
+                                  q_nucl, t_nucl)
 
     if par.num_iterations > 1:
         return _search_iterative(par, wf, qdb, tdb, out_aln)
@@ -82,6 +87,37 @@ def search(par, command):
                 current_q = next_q
         if not_exists(out_aln):
             _merge_alignments(qdb, aln_steps, out_aln)
+    if par.remove_tmp_files:
+        wf.cleanup(True)
+    return 0
+
+
+def _search_translated(par, wf, qdb, tdb, out_aln, q_nucl, t_nucl):
+    """Translated search (data/workflow/translated_search.sh): extract +
+    translate ORFs on each nucleotide side, search in protein space, map
+    alignments back to nucleotide coordinates (*3) via offsetalignment."""
+    query = query_orf = qdb
+    if q_nucl:
+        q_orfs = wf.path("q_orfs_aa")
+        wf.step(q_orfs, "extractorfs", [qdb, q_orfs, "--translate", "1"],
+                par)
+        query = query_orf = q_orfs
+    target = target_orf = tdb
+    if t_nucl:
+        t_orfs = wf.path("t_orfs_aa")
+        wf.step(t_orfs, "extractorfs", [tdb, t_orfs, "--translate", "1"],
+                par)
+        target = target_orf = t_orfs
+
+    pref = wf.path("pref")
+    wf.step(pref, "prefilter", [query, target, pref, "-s", par.sensitivity],
+            par)
+    aln = wf.path("aln")
+    wf.step(aln, "align", [query, target, pref, aln], par)
+    wf.step(out_aln, "offsetalignment",
+            [qdb, query_orf, tdb, target_orf, aln, out_aln,
+             "--search-type", "2" if par.search_type == 0
+             else par.search_type], par)
     if par.remove_tmp_files:
         wf.cleanup(True)
     return 0

@@ -97,6 +97,12 @@ COMMANDS: List[Command] = [
     Command("mergedbs", "db_tools", "mergedbs", CAT_DB,
             "Merge entries of multiple DBs",
             "mergedbs <DB> <outDB> <DB1> ... <DBn>", 4, 0),
+    Command("extractorfs", "nucl_tools", "extractorfs", CAT_UTIL,
+            "Extract (and translate) open reading frames",
+            "extractorfs <nuclDB> <outDB>", 2, 2),
+    Command("translatenucs", "nucl_tools", "translatenucs", CAT_UTIL,
+            "Translate a nucleotide DB to amino acids",
+            "translatenucs <nuclDB> <aaDB>", 2, 2),
     Command("extractframes", "nucl_tools", "extractframes", CAT_UTIL,
             "Extract frames from a nucleotide sequence DB",
             "extractframes <seqDB> <outSeqDB>", 2, 2),

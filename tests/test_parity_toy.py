@@ -305,3 +305,23 @@ def test_offsetalignment_parity(tmp_path):
                                 str(NUCL / "n_aln"), out,
                                 "--search-type", "3"])
     assert entries_by_key(out) == entries_by_key(str(NUCL / "naln"))
+
+
+def test_extractorfs_parity(tmp_path):
+    out = str(tmp_path / "orfs")
+    run_cmd("extractorfs", [str(NUCL / "ndb"), out, "--translate", "1"])
+    assert open(out, "rb").read() == open(NUCL / "t_q_orfs_aa", "rb").read()
+    assert (open(out + "_h", "rb").read()
+            == open(NUCL / "t_q_orfs_aa_h", "rb").read())
+
+
+@pytest.mark.slow
+def test_translated_offsetalignment_parity(tmp_path):
+    out = str(tmp_path / "taln")
+    run_cmd("offsetalignment", [str(NUCL / "ndb"),
+                                str(NUCL / "t_q_orfs_aa"),
+                                str(NUCL / "ndb"),
+                                str(NUCL / "t_q_orfs_aa"),
+                                str(NUCL / "t_aln"), out,
+                                "--search-type", "2"])
+    assert entries_by_key(out) == entries_by_key(str(NUCL / "taln"))
