@@ -168,14 +168,14 @@ def splitsequence(par, command):
 def _read_aln_line(line: bytes):
     """Parse an alignment line into a mutable dict (compressed backtrace is
     expanded, readAlignmentResults(readCompressed=true))."""
-    from .result2profile import expand_cigar
     p = line.split(b"\t")
     res = {
         "dbKey": fast_atoi(p[0]), "score": int(p[1]), "seqId": p[2],
         "eval": p[3], "qStart": int(p[4]), "qEnd": int(p[5]),
         "qLen": int(p[6]), "dbStart": int(p[7]), "dbEnd": int(p[8]),
         "dbLen": int(p[9]),
-        "backtrace": expand_cigar(p[10].decode()) if len(p) > 10 else "",
+        # readCompressed=true keeps the cigar compressed
+        "backtrace": p[10].decode() if len(p) > 10 else "",
         "qOrfStart": -1, "qOrfEnd": -1, "dbOrfStart": -1, "dbOrfEnd": -1,
     }
     return res

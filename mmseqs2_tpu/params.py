@@ -222,6 +222,12 @@ _A("--msa-format-mode", "msa_format_mode", int, 2,
    "result2msa output: 2: FASTA MSA, 5/6: a3m")
 _A("--skip-query", "skip_query", bool, False, "skip the query sequence")
 
+_A("--use-fasta-header", "use_header", bool, False, "use fasta header")
+_A("--prefix", "mapping_prefix", str, "", "prefix for all entries")
+_A("--tsv", "tsv_out", bool, False, "TSV output")
+_A("--overlap", "overlap", float, 0.0, "maximum overlap of covered regions")
+_A("--split-aa", "split_aa", bool, False, "split by amino acid counts")
+
 # -- nucleotide / translated search ------------------------------------------------
 _A("--strand", "strand", int, 1, "strand: 0 reverse, 1 forward, 2 both")
 _A("--forward-frames", "forward_frames", str, "1,2,3", "forward frames")

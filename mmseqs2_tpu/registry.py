@@ -97,6 +97,42 @@ COMMANDS: List[Command] = [
     Command("mergedbs", "db_tools", "mergedbs", CAT_DB,
             "Merge entries of multiple DBs",
             "mergedbs <DB> <outDB> <DB1> ... <DBn>", 4, 0),
+    Command("result2flat", "util_tools", "result2flat", CAT_UTIL,
+            "Create flat file from a result DB",
+            "result2flat <queryDB> <targetDB> <resultDB> <fastaFile>", 4, 4),
+    Command("convert2fasta", "util_tools", "convert2fasta", CAT_UTIL,
+            "Convert a sequence DB to FASTA",
+            "convert2fasta <seqDB> <fastaFile>", 2, 2),
+    Command("prefixid", "util_tools", "prefixid", CAT_UTIL,
+            "Prepend the entry key to every line",
+            "prefixid <DB> <outDB>", 2, 2),
+    Command("suffixid", "util_tools", "suffixid", CAT_UTIL,
+            "Append the entry key to every line",
+            "suffixid <DB> <outDB>", 2, 2),
+    Command("reverseseq", "util_tools", "reverseseq", CAT_UTIL,
+            "Reverse sequences", "reverseseq <seqDB> <outDB>", 2, 2),
+    Command("sortresult", "util_tools", "sortresult", CAT_UTIL,
+            "Sort result entries by E-value/score",
+            "sortresult <resultDB> <outDB>", 2, 2),
+    Command("summarizeresult", "util_tools", "summarizeresult", CAT_UTIL,
+            "Greedy non-overlapping domain selection",
+            "summarizeresult <alnDB> <outDB>", 2, 2),
+    Command("splitdb", "util_tools", "splitdb", CAT_DB,
+            "Split a DB into chunks", "splitdb <DB> <outDB>", 2, 2),
+    Command("renamedbkeys", "util_tools", "renamedbkeys", CAT_DB,
+            "Rename DB keys from a mapping file",
+            "renamedbkeys <mappingFile> <DB> <outDB>", 3, 3),
+    Command("masksequence", "util_tools", "masksequence", CAT_UTIL,
+            "Soft-mask low-complexity regions",
+            "masksequence <seqDB> <outDB>", 2, 2),
+    Command("orftocontig", "util_tools", "orftocontig", CAT_UTIL,
+            "Write ORF-to-contig coordinates as alignments",
+            "orftocontig <contigsDB> <orfsDB> <alnDB>", 3, 3),
+    Command("aliasdb", "util_tools", "aliasdb", CAT_DB,
+            "Symlink a DB under a new name", "aliasdb <DB> <aliasDB>", 2, 2),
+    Command("swapdb", "util_tools", "swapdb", CAT_UTIL,
+            "Transpose a result DB (query <-> target keys)",
+            "swapdb <resultDB> <outDB>", 2, 2),
     Command("extractorfs", "nucl_tools", "extractorfs", CAT_UTIL,
             "Extract (and translate) open reading frames",
             "extractorfs <nuclDB> <outDB>", 2, 2),

@@ -325,3 +325,61 @@ def test_translated_offsetalignment_parity(tmp_path):
                                 str(NUCL / "t_aln"), out,
                                 "--search-type", "2"])
     assert entries_by_key(out) == entries_by_key(str(NUCL / "taln"))
+
+
+# -- utility command parity ----------------------------------------------------
+UTIL = pathlib.Path(__file__).parent / "golden" / "toy" / "util"
+
+
+def _db_equal(a, b):
+    assert open(a, "rb").read() == open(b, "rb").read()
+    assert open(a + ".index", "rb").read() == open(b + ".index", "rb").read()
+
+
+def test_convert2fasta_parity(tmp_path):
+    out = str(tmp_path / "o.fasta")
+    run_cmd("convert2fasta", [str(GOLDEN / "qdb"), out])
+    assert open(out).read() == open(UTIL / "conv.fasta").read()
+
+
+def test_result2flat_parity(tmp_path):
+    out = str(tmp_path / "o.flat")
+    run_cmd("result2flat", [str(GOLDEN / "qdb"), str(GOLDEN / "qdb"),
+                            str(GOLDEN / "aln"), out])
+    assert open(out).read() == open(UTIL / "aln.flat").read()
+
+
+@pytest.mark.parametrize("cmd,inp,gold", [
+    ("prefixid", "pref", "refpfx"),
+    ("suffixid", "pref", "refsfx"),
+    ("sortresult", "aln", "refsort"),
+    ("summarizeresult", "aln", "refsumm"),
+    ("swapdb", "aln", "refswap"),
+    ("reverseseq", "qdb", "refrev"),
+    ("masksequence", "qdb", "refmask"),
+])
+def test_util_two_arg_parity(tmp_path, cmd, inp, gold):
+    out = str(tmp_path / "out")
+    run_cmd(cmd, [str(GOLDEN / inp), out])
+    _db_equal(out, str(UTIL / gold))
+
+
+def test_splitdb_parity(tmp_path):
+    out = str(tmp_path / "sp")
+    run_cmd("splitdb", [str(GOLDEN / "qdb"), out, "--split", "3"])
+    for i in range(3):
+        _db_equal(f"{out}_{i}_3", str(UTIL / f"refsplit_{i}_3"))
+
+
+def test_renamedbkeys_parity(tmp_path):
+    out = str(tmp_path / "ren")
+    run_cmd("renamedbkeys", [str(UTIL / "map.tsv"), str(GOLDEN / "pref"),
+                             out])
+    _db_equal(out, str(UTIL / "refren"))
+
+
+def test_orftocontig_parity(tmp_path):
+    out = str(tmp_path / "orf")
+    run_cmd("orftocontig", [str(NUCL / "ndb"), str(NUCL / "t_q_orfs_aa"),
+                            out])
+    _db_equal(out, str(UTIL / "reforf"))
