@@ -1,0 +1,290 @@
+"""MSA commands: result2msa (FASTA/a3m) and msa2profile.
+
+Reference: src/util/result2msa.cpp (format modes 2/5/6),
+src/util/msa2profile.cpp (match-mode column masking + PSSM).
+"""
+
+import numpy as np
+
+from ..align.aligner import Aligner, SCORE_COV_SEQID
+from ..db import dbtype as dbt
+from ..db.reader import DBReader
+from ..db.writer import DBWriter
+from ..ops.evalue import EvalueComputation
+from ..profile import filter as msafilter
+from ..profile import msa as msamod
+from ..profile import pssm as pssmmod
+from ..utils import log
+from .common import EncodedDB, fast_atoi, get_sub_mat, open_seq_db
+from .convertalis import parse_fasta_header
+from .result2profile import expand_cigar, global_bias_correct
+
+GAP = msamod.GAP
+
+
+def _gather(par, aligner, ctx, tdb, treader, query_key, data, same_db):
+    """Hits with expanded backtraces; recompute via SW if absent
+    (result2msa.cpp:227-258)."""
+    hits = []
+    need = []
+    for line in data.split(b"\n"):
+        if not line:
+            continue
+        parts = line.split(b"\t")
+        key = fast_atoi(parts[0])
+        if key == query_key and same_db:
+            continue
+        h = {
+            "db_key": key,
+            "q_start": int(parts[4]) if len(parts) > 4 else 0,
+            "db_start": int(parts[7]) if len(parts) > 7 else 0,
+            "backtrace": expand_cigar(parts[10].decode())
+            if len(parts) > 10 else "",
+        }
+        if not h["backtrace"]:
+            need.append(len(hits))
+        hits.append(h)
+    if need:
+        keys = [hits[i]["db_key"] for i in need]
+        tids = [treader.get_id(k) for k in keys]
+        tseqs = [tdb.seq_num(t) for t in tids]
+        tlens = [tdb.seq_len(t) for t in tids]
+        results = aligner.align_query(
+            ctx, keys, tseqs, tlens, [False] * len(keys),
+            SCORE_COV_SEQID, 0, 0.0, np.finfo(np.float64).max)
+        for i, res in zip(need, results):
+            hits[i]["q_start"] = res.q_start
+            hits[i]["db_start"] = res.db_start
+            hits[i]["backtrace"] = res.backtrace
+    return hits
+
+
+class _Hit:
+    pass
+
+
+def result2msa(par, command):
+    qdb_path, tdb_path, res_path, out_path = par.filenames[:4]
+    mode = par.msa_format_mode
+    if mode not in (2, 5):
+        log.die(f"--msa-format-mode {mode} is not implemented "
+                f"(supported: 2 FASTA, 5 a3m)")
+    same_db = qdb_path == tdb_path
+    # result2msa.cpp:21 forces --filter-msa off unless explicitly set
+    if not par.was_set("filter_msa"):
+        par.set("filter_msa", 0)
+    submat = get_sub_mat(par)
+    qreader = open_seq_db(qdb_path)
+    treader = qreader if same_db else open_seq_db(tdb_path)
+    qdb = EncodedDB(qreader, submat)
+    tdb = qdb if same_db else EncodedDB(treader, submat)
+    qh = DBReader(qdb_path + "_h")
+    th = qh if same_db else DBReader(tdb_path + "_h")
+    res = DBReader(res_path)
+
+    evaluer = EvalueComputation(treader.total_residues(), submat,
+                                par.gap_open.aa, par.gap_extend.aa)
+    aligner = Aligner(submat, par.gap_open.aa, par.gap_extend.aa, evaluer,
+                      par.comp_bias_corr, par.comp_bias_corr_scale)
+    qid = int(float(par.qid.split(",")[0]) * 100)
+    num2aa = submat.num2aa
+
+    with DBWriter(out_path, dbt.DBTYPE_MSA_DB) as w:
+        for i in range(res.size):
+            query_key = res.get_db_key(i)
+            qid_local = qreader.get_id(query_key)
+            q_num = qdb.seq_num(qid_local)
+            ctx = aligner.init_query(q_num)
+            hits = _gather(par, aligner, ctx, tdb, treader, query_key,
+                           res.get_data(i), same_db)
+            edge_seqs = [tdb.seq_num(treader.get_id(h["db_key"]))
+                         for h in hits]
+            alns = []
+            for h in hits:
+                a = _Hit()
+                a.q_start = h["q_start"]
+                a.db_start = h["db_start"]
+                a.backtrace = h["backtrace"]
+                alns.append(a)
+            msa = msamod.compute_msa_nodel(q_num, edge_seqs, alns)
+            set_size, center_len = msa.shape
+            if par.filter_msa:
+                kept_idx, _ = msafilter.filter_msa(
+                    msa, submat.sub_matrix, int(par.cov_msa_thr * 100), qid,
+                    par.qsc, int(par.filter_max_seq_id * 100), par.n_diff,
+                    par.filter_min_enable)
+                kept = (kept_idx if kept_idx.dtype == bool
+                        else np.isin(np.arange(set_size), kept_idx))
+            else:
+                kept = np.ones(set_size, dtype=bool)
+
+            # header kept WITH its trailing newline (entryLen-1)
+            center_header = qh.get_data(qh.get_id(query_key))
+            out = []
+            start = 1 if par.skip_query else 0
+            for k in range(start, set_size):
+                if not kept[k]:
+                    continue
+                row = msa[k]
+                only_gap = bool((row == GAP).all())
+                if k == 0:
+                    header = center_header
+                else:
+                    t_key = hits[k - 1]["db_key"]
+                    header = th.get_data(th.get_id(t_key))
+                if mode == 2:
+                    out.append(b">" + (b"DUMMY\n" if only_gap else header))
+                    out.append(bytes(
+                        ord(num2aa[c]) if c < GAP else ord("-")
+                        for c in row))
+                    out.append(b"\n")
+                else:                   # a3m (5/6)
+                    name = ("DUMMY" if only_gap
+                            else parse_fasta_header(header.split(b"\n")[0]
+                                                    .decode()))
+                    out.append(b">" + name.encode())
+                    out.append(b"\n")
+                    if k == 0:
+                        out.append(bytes(
+                            ord(num2aa[c]) if c < GAP else ord("-")
+                            for c in row))
+                        out.append(b"\n")
+                    else:
+                        h = hits[k - 1]
+                        seq = edge_seqs[k - 1]
+                        bt = h["backtrace"]
+                        bt_pos = 0
+                        seq_pos = 0
+                        buf = bytearray()
+                        for pos in range(center_len):
+                            c = row[pos]
+                            if c >= GAP:
+                                buf.append(ord("-"))
+                            else:
+                                buf.append(ord(num2aa[c]))
+                                bt_pos += 1
+                                seq_pos += 1
+                            while bt_pos < len(bt) and bt[bt_pos] == "I":
+                                bt_pos += 1
+                            while bt_pos < len(bt) and bt[bt_pos] == "D":
+                                buf.append(ord(num2aa[
+                                    seq[h["db_start"] + seq_pos]].lower()))
+                                bt_pos += 1
+                                seq_pos += 1
+                        out.append(bytes(buf))
+                        out.append(b"\n")
+            w.write(query_key, b"".join(out))
+    return 0
+
+
+def _parse_fasta_msa(text: bytes):
+    """kseq-style FASTA parsing -> list of (name, full_header, sequence)."""
+    entries = []
+    name = None
+    header = None
+    seq = []
+    for line in text.split(b"\n"):
+        if line.startswith(b">"):
+            if name is not None:
+                entries.append((name, header, b"".join(seq)))
+            header = line[1:]
+            name = header.split()[0] if header.split() else b""
+            seq = []
+        elif line:
+            seq.append(line.strip())
+    if name is not None:
+        entries.append((name, header, b"".join(seq)))
+    return entries
+
+
+def msa2profile(par, command):
+    """MSA DB -> profile DB (msa2profile.cpp): pick match columns (by the
+    first sequence or by weighted gap fraction), filter, compute the PSSM."""
+    in_path, out_path = par.filenames[:2]
+    reader = DBReader(in_path)
+    submat = get_sub_mat(par)
+    mask_by_first = par.match_mode == 0
+    match_ratio = np.float32(par.match_ratio)
+    enc = submat.make_aa2num_table()
+    qid = int(float(par.qid.split(",")[0]) * 100)
+
+    with DBWriter(out_path, dbt.DBTYPE_HMM_PROFILE) as w, \
+            DBWriter(out_path + "_h", dbt.DBTYPE_GENERIC_DB) as wh:
+        for i in range(reader.size):
+            key = reader.get_db_key(i)
+            data = reader.get_data(i)
+            if data.startswith(b"#"):          # comment line breaks kseq
+                nl = data.find(b"\n")
+                data = data[nl + 1:] if nl >= 0 else b""
+            entries = _parse_fasta_msa(data)
+            if par.skip_query and entries:
+                entries = entries[1:]
+            if par.msa_type in (0, 1):
+                entries = [e for e in entries
+                           if not e[0].startswith(b"ss_")]
+            if not entries:
+                log.warning(f"Empty msa {i}! Skipping entry.")
+                continue
+
+            center_gapped = entries[0][2]
+            L_gap = len(center_gapped)
+            wh.write(key, entries[0][1] + b"\n")
+
+            rows = []
+            for name, header, s in entries:
+                if par.msa_type == 1:
+                    s = bytes(c for c in s if not (97 <= c <= 122))
+                row = np.where(np.frombuffer(s, np.uint8) == ord("-"),
+                               np.uint8(GAP),
+                               enc[np.frombuffer(s, np.uint8)])
+                rows.append(row[:L_gap])
+            msa = np.vstack([np.pad(r, (0, L_gap - len(r)),
+                                    constant_values=GAP) for r in rows])
+
+            if mask_by_first:
+                masked = msa[0] == GAP
+            else:
+                sw = pssmmod.compute_sequence_weights(msa)
+                sw = pssmmod.normalize_to_1(sw)
+                X = msa.astype(np.int32).copy()
+                for k in range(len(X)):
+                    row = X[k]
+                    j = 0
+                    while j < L_gap and row[j] == GAP:
+                        row[j] = msamod.ENDGAP
+                        j += 1
+                    j = L_gap - 1
+                    while j >= 0 and row[j] == GAP:
+                        row[j] = msamod.ENDGAP
+                        j -= 1
+                res_w = np.zeros(L_gap, dtype=np.float32)
+                gap_w = np.zeros(L_gap, dtype=np.float32)
+                for k in range(len(X)):
+                    isres = X[k] < GAP
+                    isgap = (X[k] == GAP)
+                    res_w = (res_w + np.where(isres, sw[k], np.float32(0.0))
+                             ).astype(np.float32)
+                    gap_w = (gap_w + np.where(isgap, sw[k], np.float32(0.0))
+                             ).astype(np.float32)
+                with np.errstate(invalid="ignore"):
+                    frac = gap_w / (res_w + gap_w)
+                masked = frac > match_ratio
+            msa = msa[:, ~masked]
+
+            set_size, center_len = msa.shape
+            if par.filter_msa == 1:
+                kept, _ = msafilter.filter_msa(
+                    msa, submat.sub_matrix, int(par.cov_msa_thr * 100), qid,
+                    par.qsc, int(par.filter_max_seq_id * 100), par.n_diff,
+                    par.filter_min_enable)
+                msa_f = msa[kept]
+            else:
+                msa_f = msa
+            out = pssmmod.compute_pssm_from_msa(msa_f, submat, par.wg)
+            pssm = out["pssm"]
+            if par.comp_bias_corr:
+                pssm = global_bias_correct(pssm, submat)
+            payload = pssmmod.profile_to_buffer(
+                pssm, msa[0], out["consensus"], out["neff"], submat.aa2num)
+            w.write(key, payload)
+    return 0

@@ -221,6 +221,12 @@ _A("--profile-output-mode", "profile_output_mode", int, 0,
 _A("--msa-format-mode", "msa_format_mode", int, 2,
    "result2msa output: 2: FASTA MSA, 5/6: a3m")
 _A("--skip-query", "skip_query", bool, False, "skip the query sequence")
+_A("--match-mode", "match_mode", int, 0,
+   "0: MSA columns by first sequence, 1: by gap fraction")
+_A("--match-ratio", "match_ratio", float, 0.5, "column match gap ratio")
+_A("--msa-type", "msa_type", int, 2, "0: ca3m, 1: a3m, 2: fasta")
+_A("--summary-prefix", "summary_prefix", str, "cl", "summary line prefix")
+_A("--allow-deletion", "allow_deletion", bool, False, "allow MSA deletions")
 
 _A("--use-fasta-header", "use_header", bool, False, "use fasta header")
 _A("--prefix", "mapping_prefix", str, "", "prefix for all entries")

@@ -97,6 +97,12 @@ COMMANDS: List[Command] = [
     Command("mergedbs", "db_tools", "mergedbs", CAT_DB,
             "Merge entries of multiple DBs",
             "mergedbs <DB> <outDB> <DB1> ... <DBn>", 4, 0),
+    Command("result2msa", "msa_tools", "result2msa", CAT_UTIL,
+            "Compute MSAs from alignment results",
+            "result2msa <queryDB> <targetDB> <resultDB> <msaDB>", 4, 4),
+    Command("msa2profile", "msa_tools", "msa2profile", CAT_UTIL,
+            "Convert an MSA DB to a profile DB",
+            "msa2profile <msaDB> <profileDB>", 2, 2),
     Command("result2flat", "util_tools", "result2flat", CAT_UTIL,
             "Create flat file from a result DB",
             "result2flat <queryDB> <targetDB> <resultDB> <fastaFile>", 4, 4),

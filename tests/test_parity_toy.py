@@ -383,3 +383,28 @@ def test_orftocontig_parity(tmp_path):
     run_cmd("orftocontig", [str(NUCL / "ndb"), str(NUCL / "t_q_orfs_aa"),
                             out])
     _db_equal(out, str(UTIL / "reforf"))
+
+
+@pytest.mark.slow
+def test_result2msa_parity(tmp_path):
+    out = str(tmp_path / "msa")
+    run_cmd("result2msa", [str(GOLDEN / "qdb"), str(GOLDEN / "qdb"),
+                           str(GOLDEN / "it_aln_0"), out])
+    _db_equal(out, str(UTIL / "refmsa"))
+
+
+@pytest.mark.slow
+def test_result2msa_a3m_parity(tmp_path):
+    out = str(tmp_path / "a3m")
+    run_cmd("result2msa", [str(GOLDEN / "qdb"), str(GOLDEN / "qdb"),
+                           str(GOLDEN / "it_aln_0"), out,
+                           "--msa-format-mode", "5"])
+    _db_equal(out, str(UTIL / "refa3m"))
+
+
+@pytest.mark.parametrize("mode,gold", [(0, "refm2p"), (1, "refm2p1")])
+def test_msa2profile_parity(tmp_path, mode, gold):
+    out = str(tmp_path / "prof")
+    run_cmd("msa2profile", [str(UTIL / "refmsa"), out,
+                            "--match-mode", str(mode)])
+    _db_equal(out, str(UTIL / gold))
