@@ -288,3 +288,75 @@ def msa2profile(par, command):
                 pssm, msa[0], out["consensus"], out["neff"], submat.aa2num)
             w.write(key, payload)
     return 0
+
+
+def profile2pssm(par, command):
+    """Render profile DBs as a PSSM table (profile2pssm.cpp)."""
+    from ..profile.io import alignment_profile, parse_profile
+
+    in_path, out_path = par.filenames[:2]
+    reader = DBReader(in_path)
+    submat = get_sub_mat(par)
+    num2aa = submat.num2aa
+    is_db = par.db_output
+    order = np.argsort(reader.offsets, kind="stable")
+    w = DBWriter(out_path, dbt.DBTYPE_GENERIC_DB) if is_db else None
+    flat = open(out_path, "w") if not is_db else None
+    for i in order:
+        key = reader.get_db_key(int(i))
+        p = parse_profile(reader.get_data(int(i)))
+        prof = alignment_profile(p)[:20]      # (20, L) pssm/4
+        out = []
+        if not is_db:
+            out.append(f"Query profile of sequence {key}\n")
+        out.append("Pos\tCns")
+        for aa in range(20):
+            out.append("\t" + num2aa[aa])
+        out.append("\n")
+        for j in range(p.length):
+            out.append(f"{j}\t{num2aa[p.consensus_num[j]]}")
+            for aa in range(20):
+                out.append(f"\t{prof[aa, j]}")
+            out.append("\n")
+        payload = "".join(out)
+        if is_db:
+            w.write(key, payload.encode())
+        else:
+            flat.write(payload)
+    if is_db:
+        w.close()
+    else:
+        flat.close()
+    return 0
+
+
+def _profile2seq(par, consensus: bool):
+    from ..profile.io import parse_profile
+
+    in_path, out_path = par.filenames[:2]
+    reader = DBReader(in_path)
+    submat = get_sub_mat(par)
+    num2aa = submat.num2aa
+    order = np.argsort(reader.offsets, kind="stable")
+    with DBWriter(out_path, dbt.DBTYPE_AMINO_ACIDS) as w:
+        for i in order:
+            key = reader.get_db_key(int(i))
+            p = parse_profile(reader.get_data(int(i)))
+            src = p.consensus_num if consensus else p.query_num
+            w.write(key, bytes(ord(num2aa[c]) for c in src) + b"\n")
+    import os
+    for suf in ("_h", "_h.index", "_h.dbtype", ".lookup", ".source"):
+        srcf, dst = in_path + suf, out_path + suf
+        if os.path.exists(srcf) and not os.path.lexists(dst):
+            os.symlink(os.path.abspath(srcf), dst)
+    return 0
+
+
+def profile2consensus(par, command):
+    """Extract consensus sequences from a profile DB."""
+    return _profile2seq(par, True)
+
+
+def profile2repseq(par, command):
+    """Extract the representative (query) sequences from a profile DB."""
+    return _profile2seq(par, False)

@@ -97,6 +97,15 @@ COMMANDS: List[Command] = [
     Command("mergedbs", "db_tools", "mergedbs", CAT_DB,
             "Merge entries of multiple DBs",
             "mergedbs <DB> <outDB> <DB1> ... <DBn>", 4, 0),
+    Command("profile2pssm", "msa_tools", "profile2pssm", CAT_UTIL,
+            "Render a profile DB as a PSSM table",
+            "profile2pssm <profileDB> <pssmFile>", 2, 2),
+    Command("profile2consensus", "msa_tools", "profile2consensus", CAT_UTIL,
+            "Extract consensus sequences from a profile DB",
+            "profile2consensus <profileDB> <seqDB>", 2, 2),
+    Command("profile2repseq", "msa_tools", "profile2repseq", CAT_UTIL,
+            "Extract representative sequences from a profile DB",
+            "profile2repseq <profileDB> <seqDB>", 2, 2),
     Command("result2msa", "msa_tools", "result2msa", CAT_UTIL,
             "Compute MSAs from alignment results",
             "result2msa <queryDB> <targetDB> <resultDB> <msaDB>", 4, 4),

@@ -408,3 +408,17 @@ def test_msa2profile_parity(tmp_path, mode, gold):
     run_cmd("msa2profile", [str(UTIL / "refmsa"), out,
                             "--match-mode", str(mode)])
     _db_equal(out, str(UTIL / gold))
+
+
+def test_profile2pssm_parity(tmp_path):
+    out = str(tmp_path / "pssm.tsv")
+    run_cmd("profile2pssm", [str(GOLDEN / "it_profile_0"), out])
+    assert open(out).read() == open(UTIL / "refpssm.tsv").read()
+
+
+@pytest.mark.parametrize("cmd,gold", [("profile2consensus", "refcons"),
+                                      ("profile2repseq", "refrep")])
+def test_profile2seq_parity(tmp_path, cmd, gold):
+    out = str(tmp_path / "seq")
+    run_cmd(cmd, [str(GOLDEN / "it_profile_0"), out])
+    _db_equal(out, str(UTIL / gold))
