@@ -292,3 +292,127 @@ def _align_nucl(par, qreader, treader, same_db):
     log.info(f"{aln_num} alignments calculated, {total_passed} sequence "
              f"pairs passed the thresholds")
     return 0
+
+
+def lcaalign(par, command):
+    """Approximate 2bLCA alignment (Alignment.cpp lcaAlign branch): find the
+    top hit, realign all prefilter candidates against the top hit's aligned
+    target subsequence, and keep those under the top hit's E-value."""
+    qdb_path, tdb_path, pref_path, out_path = par.filenames[:4]
+    same_db = qdb_path == tdb_path
+
+    submat = get_sub_mat(par, score_bias=par.score_bias)
+    qreader = open_seq_db(qdb_path)
+    treader = qreader if same_db else open_seq_db(tdb_path)
+    qdb = EncodedDB(qreader, submat)
+    tdb = qdb if same_db else EncodedDB(treader, submat)
+    prefdb = DBReader(pref_path)
+
+    # lcaAlign setup (Alignment.cpp:39-56): first pass score-only, realign
+    # top-1 with bias 0, then the lca re-search at the top hit's E-value
+    alignment_mode = par.alignment_mode
+    lca_sw_mode = init_sw_mode(max(alignment_mode, 1), 0.0, 0.0)
+    realign_sw_mode = init_sw_mode(max(alignment_mode, 2), 0.0, 0.0)
+    realign_cov = par.cov_thr
+    sw_mode = init_sw_mode(max(alignment_mode, 1), par.cov_thr,
+                           par.min_seq_id)
+
+    evaluer = EvalueComputation(treader.total_residues(), submat,
+                                par.gap_open.aa, par.gap_extend.aa)
+    aligner = Aligner(submat, par.gap_open.aa, par.gap_extend.aa, evaluer,
+                      par.comp_bias_corr, par.comp_bias_corr_scale)
+
+    writer = DBWriter(out_path, dbt.DBTYPE_ALIGNMENT_RES)
+    for pid in range(prefdb.size):
+        query_key = prefdb.get_db_key(pid)
+        data = prefdb.get_data(pid)
+        lines = []
+        if data:
+            hit_keys, _, _ = parse_prefilter_entry(data)
+            qid = qreader.get_id(query_key)
+            ctx = aligner.init_query(qdb.seq_num(qid))
+            q_len = qdb.seq_len(qid)
+
+            keys, tids, tlens, ident = [], [], [], []
+            for key in hit_keys:
+                tid = treader.get_id(key)
+                if tid < 0:
+                    log.die(f"Sequence {key} required by the prefilter "
+                            f"result is missing from the target database")
+                keys.append(key)
+                tids.append(tid)
+                tlens.append(tdb.seq_len(tid))
+                ident.append((same_db and key == query_key)
+                             or (par.include_identity and key == query_key))
+            results = aligner.align_query(
+                ctx, keys, [tdb.seq_num(t) for t in tids], tlens, ident,
+                sw_mode, par.cov_mode, 0.0, par.evalue, par.seq_id_mode)
+
+            accepted = []
+            passed = rejected = 0
+            for res, is_identity in zip(results, ident):
+                if passed >= par.max_accept or rejected >= par.max_rejected:
+                    break
+                if is_identity:
+                    res.qcov, res.dbcov, res.seq_id = 1.0, 1.0, 1.0
+                if check_criteria(res, is_identity, par.evalue,
+                                  par.min_seq_id, par.min_aln_len,
+                                  par.cov_mode, 0.0):
+                    accepted.append(res)
+                    passed += 1
+                    rejected = 0
+                else:
+                    rejected += 1
+            if len(accepted) > 1:
+                sort_results(accepted)
+
+            final = []
+            if accepted:
+                # realign pass (bias 0 -> same matrix), keep max 1
+                top1 = None
+                for first in accepted:
+                    tid = treader.get_id(first.db_key)
+                    is_identity = (same_db and first.db_key == query_key) \
+                        or (par.include_identity
+                            and first.db_key == query_key)
+                    rres = aligner.align_query(
+                        ctx, [first.db_key], [tdb.seq_num(tid)],
+                        [tdb.seq_len(tid)], [is_identity], realign_sw_mode,
+                        par.cov_mode, realign_cov, float("inf"),
+                        par.seq_id_mode)[0]
+                    cov_ok = autil.has_coverage(realign_cov, par.cov_mode,
+                                                rres.qcov, rres.dbcov)
+                    if cov_ok or is_identity:
+                        rres.score = first.score
+                        rres.eval = first.eval
+                        top1 = rres
+                        break
+                if top1 is not None:
+                    # the top hit's aligned target subsequence becomes the
+                    # query of the second (lca) pass
+                    t_top = tdb.seq_num(treader.get_id(top1.db_key))
+                    sub_q = t_top[top1.db_start: top1.db_end + 1]
+                    ctx2 = aligner.init_query(sub_q)
+                    top_eval = top1.eval
+                    rejected = 0
+                    for key, tid in zip(keys, tids):
+                        if rejected >= par.max_rejected:
+                            break
+                        res = aligner.align_query(
+                            ctx2, [key], [tdb.seq_num(tid)],
+                            [tdb.seq_len(tid)], [False], lca_sw_mode,
+                            par.cov_mode, realign_cov, top_eval,
+                            par.seq_id_mode)[0]
+                        if check_criteria(res, False, top_eval,
+                                          par.min_seq_id, par.min_aln_len,
+                                          par.cov_mode, realign_cov):
+                            final.append(res)
+                            rejected = 0
+                        else:
+                            rejected += 1
+                    if len(final) > 1:
+                        sort_results(final)
+            lines = [r.to_line(par.add_backtrace) for r in final]
+        writer.write(query_key, "".join(lines).encode())
+    writer.close()
+    return 0

@@ -104,14 +104,33 @@ def filterdb(par, command):
     if par.filter_file:
         with open(par.filter_file) as f:
             keep = set(line.split()[0].encode() for line in f if line.strip())
+    col = par.filter_column - 1
+    op = par.comparison_operator
     with DBWriter(out_path, res.base_type, res.extended_type) as w:
         for i in range(res.size):
             data = res.get_data(i)
+            lines = [ln for ln in data.split(b"\n") if ln]
             if keep is not None:
-                lines = [ln for ln in data.split(b"\n") if ln]
-                kept = [ln for ln in lines
-                        if ln.split(b"\t")[0].split()[0] in keep]
-                data = b"".join(ln + b"\n" for ln in kept)
+                lines = [ln for ln in lines
+                         if ln.split(b"\t")[0].split()[0] in keep]
+            elif par.beats_first:
+                # BEATS_FIRST (filterdb.cpp:400-420): line 1 sets the
+                # reference; keep lines whose column beats it
+                kept = []
+                ref = None
+                for ln in lines:
+                    cols = ln.split(b"\t")
+                    if ref is None:
+                        ref = float(cols[col])
+                        kept.append(ln)
+                        continue
+                    v = float(cols[col])
+                    ok = {"ge": v >= ref, "le": v <= ref,
+                          "e": v == ref}.get(op, True)
+                    if ok:
+                        kept.append(ln)
+                lines = kept
+            data = b"".join(ln + b"\n" for ln in lines)
             w.write(res.get_db_key(i), data)
     res.close()
     return 0

@@ -94,8 +94,11 @@ class AlnRecord:
 
     @property
     def aln_length(self):
-        return max(abs(self.q_end - self.q_start),
-                   abs(self.db_end - self.db_start)) + 1
+        # -1 start positions (score-only records) clamp to 0 before the
+        # length computation (Matcher::parseAlignmentRecord:231-235)
+        aq = 0 if self.q_start == -1 else self.q_start
+        ad = 0 if self.db_start == -1 else self.db_start
+        return max(abs(self.q_end - aq), abs(self.db_end - ad)) + 1
 
 
 def _f3(x) -> str:

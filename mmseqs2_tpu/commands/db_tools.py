@@ -8,6 +8,8 @@ Reference: the single-purpose tools in /root/reference/src/util/
 import os
 import shutil
 
+import numpy as np
+
 from ..db import dbtype as dbt
 from ..db.reader import DBReader
 from ..db.writer import DBWriter, remove_db
@@ -63,7 +65,8 @@ def createtsv(par, command):
     (optionally target key -> target accession for 2-column results).
     """
     names = par.filenames
-    if len(names) == 4:
+    has_target = len(names) == 4
+    if has_target:
         qdb, tdb, resdb, out = names
     else:
         qdb, resdb, out = names
@@ -79,13 +82,15 @@ def createtsv(par, command):
             for line in res.get_data(i).split(b"\n"):
                 if not line:
                     continue
-                parts = line.split(b"\t")
-                try:
+                if has_target:
+                    # replace the target-key column by its header accession
+                    # (createtsv.cpp:133-158, targetTsvColumn default 1)
+                    parts = line.split(b"\t")
                     tkey = int(parts[0])
                     tid = parse_fasta_header(
                         th.get_data(th.get_id(tkey)).decode())
                     rest = b"\t".join([tid.encode()] + parts[1:]).decode()
-                except (ValueError, KeyError):
+                else:
                     rest = line.decode()
                 f.write(f"{qid}\t{rest}\n")
     qh.close()
@@ -242,30 +247,95 @@ def dbtype_cmd(par, command):
 def swapresults(par, command):
     """Transpose a result DB: entries keyed by target, lines keyed by query.
 
-    Reference src/util/swapresults.cpp; E-values are recomputed for the new
-    "query" length when the result is an alignment DB (done by swapdb logic —
-    here we re-derive E from bit score against the query-side DB size).
+    Reference src/util/swapresults.cpp (doswap, isGeneralMode=false) +
+    Matcher::swapResult (Matcher.h:97-119): E-values are recomputed from the
+    bit score against the query-side DB residue count (the new search space),
+    query/target coordinate columns swap, I/D swap in the backtrace, hits
+    re-sort by Matcher::compareHits, and every target key up to the target
+    DB's last key gets an (possibly empty) entry if it exists in the target
+    DB or had a hit filtered by -e.
     """
+    from ..ops.evalue import EvalueComputation
+    from ..data.submat import get_submat
+    from .util_tools import _aln_parse, _aln_to_line
+
     qdb, tdb, resdb, out = par.filenames[:4]
+    q = DBReader(qdb)
+    t = DBReader(tdb)
+    t_nucl = t.base_type == dbt.DBTYPE_NUCLEOTIDES
+    if t_nucl:
+        submat = get_submat("nucleotide.out", 1.0, 0.0)
+        gap_open, gap_extend = par.gap_open.nucl, par.gap_extend.nucl
+    else:
+        submat = get_submat(par.sub_mat.aa, 2.0, 0.0)
+        gap_open, gap_extend = par.gap_open.aa, par.gap_extend.aa
+    evaluer = EvalueComputation(q.total_residues(), submat, gap_open,
+                                gap_extend)
+    max_target_id = 0
+    target_exists = set()
+    for i in range(t.size):
+        key = t.get_db_key(i)
+        target_exists.add(key)
+        max_target_id = max(max_target_id, key)
+
     res = DBReader(resdb)
-    is_aln = res.base_type == dbt.DBTYPE_ALIGNMENT_RES
+    # hasBacktrace/isAlignmentResult from the first non-empty entry
+    is_aln = False
+    has_bt = False
+    for i in range(res.size):
+        data = res.get_data(i)
+        if data:
+            cols = len(data.split(b"\n")[0].split(b"\t"))
+            is_aln = cols >= 10
+            has_bt = cols >= 11
+            break
+
     swapped = {}
+    eval_break = set()
     for i in range(res.size):
         qkey = res.get_db_key(i)
         for line in res.get_data(i).split(b"\n"):
             if not line:
                 continue
-            parts = line.split(b"\t")
-            tkey = int(parts[0])
-            parts[0] = str(qkey).encode()
-            if is_aln and len(parts) >= 10:
-                # swap query/target coordinate columns
-                (parts[4], parts[5], parts[6], parts[7], parts[8], parts[9]) \
-                    = (parts[7], parts[8], parts[9], parts[4], parts[5],
-                       parts[6])
-            swapped.setdefault(tkey, []).append(b"\t".join(parts))
+            if is_aln:
+                r = _aln_parse(line)
+                tkey = r["dbKey"]
+                raw = evaluer.compute_raw_score_from_bit_score(r["score"])
+                r["eval"] = evaluer.compute_evalue(raw, r["dbLen"])
+                r["dbKey"] = qkey
+                (r["qStart"], r["qEnd"], r["qLen"], r["dbStart"], r["dbEnd"],
+                 r["dbLen"]) = (r["dbStart"], r["dbEnd"], r["dbLen"],
+                                r["qStart"], r["qEnd"], r["qLen"])
+                r["backtrace"] = r["backtrace"].translate(
+                    str.maketrans("ID", "DI"))
+                if r["eval"] > par.evalue:
+                    eval_break.add(tkey)
+                else:
+                    swapped.setdefault(tkey, []).append(r)
+            else:
+                p = line.split(b"\t")
+                tkey = int(p[0])
+                diag = -np.int16(np.uint16(int(p[2])))
+                swapped.setdefault(tkey, []).append(
+                    {"dbKey": qkey, "score": int(p[1]), "diag": int(diag)})
+
     with DBWriter(out, res.base_type, res.extended_type) as w:
-        for tkey in sorted(swapped):
-            w.write(tkey, b"\n".join(swapped[tkey]) + b"\n")
+        for tkey in range(max_target_id + 1):
+            hits = swapped.get(tkey)
+            if hits:
+                if is_aln:
+                    hits.sort(key=lambda r: (r["eval"], -r["score"],
+                                             r["dbLen"], r["dbKey"]))
+                    body = "".join(_aln_to_line(r, has_bt) for r in hits)
+                else:
+                    hits.sort(key=lambda r: (-r["score"], r["dbKey"]))
+                    body = "".join("%i\t%i\t%i\n" % (r["dbKey"], r["score"],
+                                                     r["diag"])
+                                   for r in hits)
+                w.write(tkey, body.encode())
+            elif tkey in eval_break or tkey in target_exists:
+                w.write(tkey, b"")
     res.close()
+    q.close()
+    t.close()
     return 0

@@ -60,10 +60,12 @@ def search(par, command):
                 PREF_MODE_UNGAPPED: "ungappedprefilter",
                 PREF_MODE_EXHAUSTIVE: "ungappedprefilter"}[par.prefilter_mode]
 
+    align_module = "lcaalign" if par.lca_search else "align"
+
     if sens_steps <= 1:
         pref = wf.path("pref_0")
         wf.step(pref, pref_cmd, [qdb, tdb, pref, "-s", target_sens], par)
-        wf.step(out_aln, "align", [qdb, tdb, pref, out_aln], par)
+        wf.step(out_aln, align_module, [qdb, tdb, pref, out_aln], par)
     else:
         # blastp.sh multi-step: search remaining queries at increasing
         # sensitivity, merge per-step alignment results

@@ -1,0 +1,420 @@
+"""Taxonomy commands: createtaxdb (offline), lca, majoritylca, addtaxonomy,
+taxonomyreport, filtertaxdb, createbintaxmapping + the taxonomy workflow.
+
+Reference: src/taxonomy/*.cpp and data/workflow/{createtaxdb,taxonomy}.sh.
+"""
+
+import math
+import os
+import shutil
+
+import numpy as np
+
+from ..db import dbtype as dbt
+from ..db.reader import DBReader
+from ..db.writer import DBWriter
+from ..taxonomy.ncbi import (MAX_TAX_WEIGHT, MappingReader, NcbiTaxonomy,
+                             TaxonomyExpression, parse_ranks)
+from ..utils import log
+from .common import fast_atoi
+
+FLT_MAX = np.finfo(np.float32).max
+
+
+def createtaxdb(par, command):
+    """Offline creation only (zero-egress environment): requires
+    --ncbi-tax-dump <dir> and --tax-mapping-file <accession2taxid>;
+    --tax-db-mode 0 layout (dmp files are copied next to the seqDB)."""
+    db, tmp = par.filenames[:2]
+    if not par.ncbi_tax_dump:
+        log.die("Automatic taxdump download is not available in this "
+                "environment. Provide --ncbi-tax-dump <dir> with "
+                "names.dmp/nodes.dmp/merged.dmp/delnodes.dmp")
+    if not par.tax_mapping_file:
+        log.die("Automatic mapping download is not available. Provide "
+                "--tax-mapping-file <accession\\ttaxid file>")
+    for f in ("names.dmp", "nodes.dmp", "merged.dmp", "delnodes.dmp"):
+        src = os.path.join(par.ncbi_tax_dump, f)
+        if os.path.exists(src):
+            shutil.copyfile(src, f"{db}_{f}")
+    # MAPPINGMODE 0: join accession->taxid with <db>.lookup key->accession
+    acc2tax = {}
+    with open(par.tax_mapping_file) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2:
+                acc2tax[parts[0]] = parts[1]
+    with open(db + ".lookup") as f, open(db + "_mapping", "w") as out:
+        for line in f:
+            parts = line.split("\t")
+            if len(parts) >= 2 and parts[1] in acc2tax:
+                out.write(f"{parts[0]}\t{acc2tax[parts[1]]}\n")
+    return 0
+
+
+def createbintaxmapping(par, command):
+    """Kept as a sorted text mapping (we read text mappings directly)."""
+    in_path, out_path = par.filenames[:2]
+    pairs = []
+    with open(in_path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2:
+                pairs.append((int(parts[0]), int(parts[1])))
+    pairs.sort()
+    with open(out_path, "w") as f:
+        for k, t in pairs:
+            f.write(f"{k}\t{t}\n")
+    return 0
+
+
+def _weight_of(evalue: float, vote_mode: int) -> float:
+    # WeightedTaxHit ctor (NcbiTaxonomy.cpp:598-620); the evalue arrives as
+    # FLOAT, so tiny E-values underflow to 0 and get MAX_TAX_WEIGHT
+    if vote_mode == 0:
+        return 1.0
+    ev32 = np.float32(evalue)
+    if vote_mode == 1:
+        if ev32 == FLT_MAX:
+            return float(ev32)
+        if ev32 > 0:
+            return -math.log(float(ev32))
+        return MAX_TAX_WEIGHT
+    return float(ev32)              # AGG_TAX_SCORE
+
+
+def _do_lca(par, majority: bool):
+    tax_db, res_path, out_path = par.filenames[:3]
+    t = NcbiTaxonomy.open_taxonomy(tax_db)
+    mapping = MappingReader(tax_db)
+    reader = DBReader(res_path)
+    vote_mode = par.vote_mode
+    if majority:
+        if vote_mode != 0 and reader.base_type == dbt.DBTYPE_CLUSTER_RES:
+            log.warning("Cluster input can only be used with --vote-mode 0\n"
+                        "Continuing with --vote-mode 0")
+            vote_mode = 0
+        elif vote_mode == 1 and reader.base_type in (
+                dbt.DBTYPE_PREFILTER_RES, dbt.DBTYPE_PREFILTER_REV_RES):
+            log.warning("Prefilter input can only be used with --vote-mode "
+                        "0 or 2\nContinuing with --vote-mode 0")
+            vote_mode = 0
+
+    ranks = parse_ranks(par.lca_ranks)
+    blacklist = []
+    for tok in par.blacklist.split(","):
+        if not tok:
+            continue
+        taxon = fast_atoi(tok.split(":")[0].encode())
+        if taxon == 0:
+            log.warning("Cannot block root taxon 0")
+            continue
+        if not t.node_exists(taxon):
+            log.warning(f"Ignoring missing blocked taxon {taxon}")
+            continue
+        blacklist.append(taxon)
+
+    no_tax = "0\tno rank\tunclassified"
+    if ranks:
+        no_tax += "\t"
+    if par.tax_lineage > 0:
+        no_tax += "\t"
+    no_tax += "\n"
+
+    order = np.argsort(reader.offsets, kind="stable")
+    with DBWriter(out_path, dbt.DBTYPE_TAXONOMICAL_RESULT) as w:
+        for i in order:
+            key = reader.get_db_key(int(i))
+            data = reader.get_data(int(i))
+            taxa = []
+            weighted = []
+            for line in data.split(b"\n"):
+                if not line:
+                    continue
+                cols = line.split(b"\t")
+                tid = fast_atoi(cols[0])
+                taxon = mapping.lookup(tid)
+                if taxon == 0:
+                    continue
+                if any(t.is_ancestor(b, taxon) for b in blacklist):
+                    continue
+                if majority:
+                    weight = float(FLT_MAX)
+                    if vote_mode == 1:
+                        if len(cols) <= 3:
+                            log.die(f"No alignment result for taxon "
+                                    f"{taxon} found")
+                        weight = float(cols[3])
+                    elif vote_mode == 2:
+                        if len(cols) <= 1:
+                            log.die(f"No alignment result for taxon "
+                                    f"{taxon} found")
+                        weight = float(cols[1])
+                    weighted.append((taxon, _weight_of(weight, vote_mode)))
+                else:
+                    taxa.append(taxon)
+            if len(data) == 0:
+                w.write(key, no_tax.encode())
+                continue
+            if majority:
+                sel, _, _, _, _ = t.weighted_majority_lca(weighted,
+                                                          par.majority_thr)
+                node = t.taxon_node(sel)
+            else:
+                node = t.lca(taxa)
+            if node is None:
+                w.write(key, no_tax.encode())
+                continue
+            out = f"{node.tax_id}\t{node.rank}\t{node.name}"
+            if ranks:
+                out += "\t" + ";".join(t.at_ranks(node, ranks))
+            if par.tax_lineage == 1:
+                out += "\t" + t.tax_lineage(node, True)
+            elif par.tax_lineage == 2:
+                out += "\t" + t.tax_lineage(node, False)
+            w.write(key, (out + "\n").encode())
+    return 0
+
+
+def lca(par, command):
+    return _do_lca(par, False)
+
+
+def majoritylca(par, command):
+    return _do_lca(par, True)
+
+
+def addtaxonomy(par, command):
+    """Append taxonomy columns to every result line (addtaxonomy.cpp)."""
+    tax_db, res_path, out_path = par.filenames[:3]
+    t = NcbiTaxonomy.open_taxonomy(tax_db)
+    mapping = MappingReader(tax_db)
+    reader = DBReader(res_path)
+    is_taxres = reader.base_type == dbt.DBTYPE_TAXONOMICAL_RESULT
+    ranks = parse_ranks(par.lca_ranks)
+    order = np.argsort(reader.offsets, kind="stable")
+    with DBWriter(out_path, reader.base_type, reader.extended_type) as w:
+        for i in order:
+            key = reader.get_db_key(int(i))
+            data = reader.get_data(int(i))
+            if len(data) == 0:
+                w.write(key, b"")
+                continue
+            taxon = 0
+            if par.pick_id_from == 1:          # EXTRACT_QUERY
+                taxon = mapping.lookup(key)
+                if taxon == 0:
+                    w.write(key, b"")
+                    continue
+            out = []
+            for line in data.split(b"\n"):
+                if not line:
+                    continue
+                if par.pick_id_from == 2:      # EXTRACT_TARGET
+                    tid = fast_atoi(line.split(b"\t")[0])
+                    taxon = (tid if is_taxres else mapping.lookup(tid))
+                    if taxon == 0:
+                        continue
+                node = t.taxon_node(taxon)
+                if node is None:
+                    continue
+                s = (line.decode() + f"\t{node.tax_id}\t{node.rank}\t"
+                     f"{node.name}")
+                if ranks:
+                    s += "\t" + ";".join(t.at_ranks(node, ranks))
+                if par.tax_lineage == 1:
+                    s += "\t" + t.tax_lineage(node, True)
+                elif par.tax_lineage == 2:
+                    s += "\t" + t.tax_lineage(node, False)
+                out.append(s + "\n")
+            w.write(key, "".join(out).encode())
+    return 0
+
+
+def filtertaxdb(par, command):
+    """Keep result lines whose target taxon matches --taxon-list."""
+    tax_db, res_path, out_path = par.filenames[:3]
+    t = NcbiTaxonomy.open_taxonomy(tax_db)
+    mapping = MappingReader(tax_db)
+    reader = DBReader(res_path)
+    is_taxres = reader.base_type == dbt.DBTYPE_TAXONOMICAL_RESULT
+    expr = TaxonomyExpression(par.taxon_list, t)
+    order = np.argsort(reader.offsets, kind="stable")
+    with DBWriter(out_path, reader.base_type, reader.extended_type) as w:
+        for i in order:
+            key = reader.get_db_key(int(i))
+            out = []
+            for line in reader.get_data(int(i)).split(b"\n"):
+                if not line:
+                    continue
+                tid = fast_atoi(line.split(b"\t")[0])
+                taxon = tid if is_taxres else mapping.lookup(tid)
+                if expr.is_ancestor(taxon):
+                    out.append(line + b"\n")
+            w.write(key, b"".join(out))
+    return 0
+
+
+def taxonomyreport(par, command):
+    """Kraken-style clade report (taxonomyreport.cpp, report mode 0)."""
+    if par.report_mode != 0:
+        log.die("Only --report-mode 0 (Kraken style) is implemented")
+    tax_db, res_path, out_path = par.filenames[:3]
+    t = NcbiTaxonomy.open_taxonomy(tax_db)
+    reader = DBReader(res_path)
+    is_seq_db = reader.base_type in (dbt.DBTYPE_AMINO_ACIDS,
+                                     dbt.DBTYPE_NUCLEOTIDES,
+                                     dbt.DBTYPE_HMM_PROFILE)
+    is_taxres = reader.base_type == dbt.DBTYPE_TAXONOMICAL_RESULT
+    mapping = None if is_taxres else MappingReader(tax_db)
+
+    tax_counts = {}
+    total = 0
+    for i in range(reader.size):
+        if is_seq_db:
+            taxon = mapping.lookup(reader.get_db_key(i))
+            tax_counts[taxon] = tax_counts.get(taxon, 0) + 1
+            total += 1
+            continue
+        data = reader.get_data(i)
+        for line in data.split(b"\n"):
+            if not line:
+                continue
+            tid = fast_atoi(line.split(b"\t")[0])
+            taxon = tid if is_taxres else mapping.lookup(tid)
+            tax_counts[taxon] = tax_counts.get(taxon, 0) + 1
+            total += 1
+
+    clade = t.get_clade_counts({k: v for k, v in tax_counts.items()})
+
+    lines = []
+
+    def report(tax_id, depth):
+        e = clade.get(tax_id)
+        clade_count = e[0] if e else 0
+        tax_count = e[1] if e else 0
+        if tax_id == 0:
+            if clade_count > 0:
+                lines.append("%.4f\t%i\t%i\tno rank\t0\tunclassified\n"
+                             % (100 * clade_count / float(total),
+                                clade_count, tax_count))
+            report(1, 0)
+            return
+        if clade_count == 0:
+            return
+        node = t.taxon_node(tax_id)
+        indent = "  " * depth
+        lines.append("%.4f\t%i\t%i\t%s\t%i\t%s%s\n"
+                     % (100 * clade_count / float(total), clade_count,
+                        tax_count, node.rank, tax_id, indent, node.name))
+        children = sorted(e[2], key=lambda c: -(clade.get(c, [0])[0]))
+        for c in children:
+            if c in clade:
+                report(c, depth + 1)
+            else:
+                break
+
+    report(0, 0)
+    with open(out_path, "w") as f:
+        f.write("".join(lines))
+    return 0
+
+
+def taxonomy(par, command):
+    """Taxonomy assignment workflow (data/workflow/taxonomy.sh +
+    src/workflow/Taxonomy.cpp): search, optionally reduce to top hits, and
+    compute the (approximate 2bLCA) LCA per query."""
+    from ..workflow import Workflow
+
+    qdb, tdb, out, tmp = par.filenames[:4]
+    wf = Workflow(tmp, par.force_reuse)
+
+    # setTaxonomyDefaults
+    for attr, val in (("sensitivity", 2.0), ("evalue", 1.0),
+                      ("max_accept", 30), ("max_rejected", 5),
+                      ("alignment_mode", 1), ("orf_start_mode", 1)):
+        if not par.was_set(attr):
+            par.set(attr, val)
+
+    mode = par.lca_mode
+    if mode == 2:
+        log.warning("2bLCA was replaced by approximate 2bLCA")
+        mode = 3
+
+    search_args = [qdb, tdb, wf.path("first"), wf.path("tmp_hsp1"),
+                   "-s", par.sensitivity, "-e", par.evalue,
+                   "--max-accept", par.max_accept,
+                   "--max-rejected", par.max_rejected,
+                   "--alignment-mode", par.alignment_mode]
+    if mode == 3:
+        search_args += ["--lca-search", "1"]
+    wf.step(wf.path("first"), "search", search_args, par)
+
+    lca_in = wf.path("first")
+    if mode == 4:
+        top1 = wf.path("top1")
+        wf.step(top1, "filterdb",
+                [lca_in, top1, "--beats-first", "1", "--filter-column", "4",
+                 "--comparison-operator", "le"], par)
+        lca_in = top1
+
+    if par.tax_output_mode in (0, 2):
+        wf.step(out, "lca", [tdb, lca_in, out], par)
+        if par.tax_output_mode == 2:
+            import shutil
+            for suf in ("", ".index", ".dbtype"):
+                shutil.copyfile(lca_in + suf, out + "_aln" + suf)
+    else:
+        import shutil
+        for suf in ("", ".index", ".dbtype"):
+            shutil.copyfile(lca_in + suf, out + suf)
+    if par.remove_tmp_files:
+        wf.cleanup(True)
+    return 0
+
+
+def easy_taxonomy(par, command):
+    """easy-taxonomy (data/workflow/easytaxonomy.sh +
+    src/workflow/EasyTaxonomy.cpp): createdb + taxonomy (output mode BOTH) +
+    lca TSV + Kraken report + per-target tophit report and alignment TSV."""
+    from ..workflow import Workflow
+
+    fasta, tdb, out_prefix, tmp = par.filenames[:4]
+    wf = Workflow(tmp, par.force_reuse)
+    # setEasyTaxonomyDefaults: file-order keys (soft split mode), no lookup
+    if not par.was_set("createdb_mode"):
+        par.set("createdb_mode", 1)
+    if not par.was_set("write_lookup"):
+        par.set("write_lookup", 0)
+    qdb = wf.path("query")
+    wf.step(qdb, "createdb", [fasta, qdb], par)
+
+    # EasyTaxonomy.cpp:62-63 forces TAXONOMY_OUTPUT_BOTH
+    par.set("tax_output_mode", 2)
+    result = wf.path("result")
+    wf.step(result, "taxonomy",
+            [qdb, tdb, result, wf.path("taxonomy_tmp")], par)
+
+    wf.step(out_prefix + "_lca.tsv", "createtsv",
+            [qdb, result, out_prefix + "_lca.tsv"], par)
+    wf.step(out_prefix + "_report", "taxonomyreport",
+            [tdb, result, out_prefix + "_report"], par)
+
+    # SWAPRESULT_PAR is built with evalThr = FLT_MAX (EasyTaxonomy.cpp:71)
+    swapped = wf.path("result_aln_swapped")
+    wf.step(swapped, "swapresults",
+            [qdb, tdb, result + "_aln", swapped, "-e", "3.402823466e+38"],
+            par)
+    summed = wf.path("result_aln_swapped_sum")
+    wf.step(summed, "summarizealis", [swapped, summed], par)
+    # ADDTAXONOMY_PAR with pickIdFrom = 1 (EasyTaxonomy.cpp:73)
+    sum_tax = wf.path("result_aln_swapped_sum_tax")
+    wf.step(sum_tax, "addtaxonomy",
+            [tdb, summed, sum_tax, "--pick-id-from", "1"], par)
+    wf.step(out_prefix + "_tophit_report", "createtsv",
+            [tdb, sum_tax, out_prefix + "_tophit_report"], par)
+    wf.step(out_prefix + "_tophit_aln", "convertalis",
+            [qdb, tdb, result + "_aln", out_prefix + "_tophit_aln"], par)
+    if par.remove_tmp_files:
+        wf.cleanup(True)
+    return 0

@@ -385,3 +385,45 @@ def swapdb(par, command):
         for t_key in sorted(swapped):
             w.write(t_key, "".join(swapped[t_key]).encode())
     return 0
+
+
+def summarizealis(par, command):
+    """Per-query alignment summary: nAlns, uniqueCov, cov, avgSeqId.
+
+    Reference src/util/summarizealis.cpp: hits stable-sorted by
+    min(qStart,qEnd); uniqueCov merges overlapping query intervals via the
+    running previous-end position; all accumulation in float32; fields
+    printed with SSTR(float) = %.3f."""
+    in_path, out_path = par.filenames[:2]
+    reader = DBReader(in_path)
+    with DBWriter(out_path, dbt.DBTYPE_GENERIC_DB) as w:
+        for i in range(reader.size):
+            key = reader.get_db_key(i)
+            alns = [_aln_parse(line) for line in
+                    reader.get_data(i).split(b"\n") if line]
+            if not alns:
+                w.write(key, b"")
+                continue
+            alns.sort(key=lambda r: min(r["qStart"], r["qEnd"]))
+            res_cov = np.float32(0)
+            avg_seq_id = np.float32(0)
+            uniq_cov = np.float32(0)
+            seq_len = 1
+            prev_q_end = -1
+            for r in alns:
+                seq_len = r["qLen"]
+                qs = min(r["qStart"], r["qEnd"])
+                qe = max(r["qStart"], r["qEnd"])
+                uniq_cov += np.float32(max(prev_q_end, qe)
+                                       - max(prev_q_end, qs))
+                res_cov += np.float32(qe - qs)
+                avg_seq_id += r["seqId"]
+                prev_q_end = max(prev_q_end, r["qEnd"])
+            avg_seq_id = avg_seq_id / np.float32(len(alns))
+            res_cov = res_cov / np.float32(seq_len)
+            uniq_cov = uniq_cov / np.float32(seq_len)
+            w.write(key, ("%i\t%.3f\t%.3f\t%.3f\n"
+                          % (len(alns), uniq_cov, res_cov,
+                             avg_seq_id)).encode())
+    reader.close()
+    return 0

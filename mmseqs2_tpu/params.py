@@ -228,6 +228,37 @@ _A("--msa-type", "msa_type", int, 2, "0: ca3m, 1: a3m, 2: fasta")
 _A("--summary-prefix", "summary_prefix", str, "cl", "summary line prefix")
 _A("--allow-deletion", "allow_deletion", bool, False, "allow MSA deletions")
 
+# -- taxonomy ----------------------------------------------------------------------
+_A("--ncbi-tax-dump", "ncbi_tax_dump", str, "", "NCBI taxdump directory")
+_A("--tax-mapping-file", "tax_mapping_file", str, "",
+   "accession to taxid mapping file")
+_A("--tax-mapping-mode", "tax_mapping_mode", int, 0,
+   "map by 0: .lookup 1: .source")
+_A("--tax-db-mode", "tax_db_mode", int, 1, "0: dmp files, 1: binary")
+_A("--lca-ranks", "lca_ranks", str, "", "add column with ranks (',' sep)")
+_A("--blacklist", "blacklist", str,
+   "12908:unclassified sequences,28384:other sequences",
+   "ignored taxa in LCA computation")
+_A("--tax-lineage", "tax_lineage", int, 0,
+   "0: none, 1: lineage names, 2: lineage taxids")
+_A("--majority", "majority_thr", float, 0.5, "majority agreement fraction")
+_A("--vote-mode", "vote_mode", int, 1,
+   "0: uniform, 1: -log(E-value), 2: score")
+_A("--pick-id-from", "pick_id_from", int, 2, "1: query, 2: target")
+_A("--report-mode", "report_mode", int, 0,
+   "0: Kraken, 1: Krona, 2: skip, 3: Kraken per query DB")
+_A("--lca-mode", "lca_mode", int, 3,
+   "1: single search LCA, 2/3: approx. 2bLCA, 4: top hit")
+_A("--tax-output-mode", "tax_output_mode", int, 0,
+   "0: LCA, 1: alignment, 2: both")
+_A("--lca-search", "lca_search", bool, False, "approximate 2bLCA search")
+_A("--beats-first", "beats_first", bool, False,
+   "filter by comparing each entry to the first")
+_A("--filter-column", "filter_column", int, 1, "column to filter on")
+_A("--comparison-operator", "comparison_operator", str, "",
+   "ge, le, e, ip, op, ep")
+_A("--comparison-value", "comparison_value", float, 0.0, "comparison value")
+
 _A("--use-fasta-header", "use_header", bool, False, "use fasta header")
 _A("--prefix", "mapping_prefix", str, "", "prefix for all entries")
 _A("--tsv", "tsv_out", bool, False, "TSV output")

@@ -69,6 +69,9 @@ COMMANDS: List[Command] = [
     Command("align", "align_cmd", "align", CAT_CORE,
             "Smith-Waterman gapped alignment of prefilter results",
             "align <queryDB> <targetDB> <prefDB> <alnDB>", 4, 4),
+    Command("lcaalign", "align_cmd", "lcaalign", CAT_CORE,
+            "Approximate 2bLCA alignment for taxonomy assignment",
+            "lcaalign <queryDB> <targetDB> <prefDB> <alnDB>", 4, 4),
     Command("rescorediagonal", "rescorediagonal", "rescorediagonal", CAT_CORE,
             "Rescore prefilter hits along their diagonal",
             "rescorediagonal <queryDB> <targetDB> <resultDB> <outDB>", 4, 4),
@@ -97,6 +100,33 @@ COMMANDS: List[Command] = [
     Command("mergedbs", "db_tools", "mergedbs", CAT_DB,
             "Merge entries of multiple DBs",
             "mergedbs <DB> <outDB> <DB1> ... <DBn>", 4, 0),
+    Command("taxonomy", "tax_tools", "taxonomy", CAT_WORKFLOW,
+            "Taxonomic classification",
+            "taxonomy <queryDB> <targetDB> <taxDB> <tmpDir>", 4, 4),
+    Command("easy-taxonomy", "tax_tools", "easy_taxonomy", CAT_MAIN,
+            "Taxonomic classification (FASTA in, reports out)",
+            "easy-taxonomy <fasta> <targetDB> <outPrefix> <tmpDir>", 4, 4),
+    Command("createtaxdb", "tax_tools", "createtaxdb", CAT_DB,
+            "Add taxonomy files to a sequence DB (offline)",
+            "createtaxdb <seqDB> <tmpDir>", 2, 2),
+    Command("createbintaxmapping", "tax_tools", "createbintaxmapping",
+            CAT_DB, "Sort a taxonomy mapping file",
+            "createbintaxmapping <mappingFile> <outFile>", 2, 2),
+    Command("lca", "tax_tools", "lca", CAT_CORE,
+            "Compute the lowest common ancestor per query",
+            "lca <targetDB> <resultDB> <taxDB>", 3, 3),
+    Command("majoritylca", "tax_tools", "majoritylca", CAT_CORE,
+            "Compute the weighted majority LCA per query",
+            "majoritylca <targetDB> <resultDB> <taxDB>", 3, 3),
+    Command("addtaxonomy", "tax_tools", "addtaxonomy", CAT_UTIL,
+            "Append taxonomy columns to result lines",
+            "addtaxonomy <targetDB> <resultDB> <outDB>", 3, 3),
+    Command("filtertaxdb", "tax_tools", "filtertaxdb", CAT_UTIL,
+            "Filter results by a taxon-list expression",
+            "filtertaxdb <targetDB> <resultDB> <outDB>", 3, 3),
+    Command("taxonomyreport", "tax_tools", "taxonomyreport", CAT_UTIL,
+            "Kraken-style taxonomy report",
+            "taxonomyreport <targetDB> <resultDB/seqDB> <report>", 3, 3),
     Command("profile2pssm", "msa_tools", "profile2pssm", CAT_UTIL,
             "Render a profile DB as a PSSM table",
             "profile2pssm <profileDB> <pssmFile>", 2, 2),
@@ -184,6 +214,9 @@ COMMANDS: List[Command] = [
             "Print DB entries", "view <DB> [<key> ...]", 1, 0),
     Command("dbtype", "db_tools", "dbtype_cmd", CAT_DB,
             "Print the DB type", "dbtype <DB>", 1, 1),
+    Command("summarizealis", "util_tools", "summarizealis", CAT_UTIL,
+            "Summarize alignment result to one row (uniq. cov., cov., avg. seq. id.)",
+            "summarizealis <alignmentDB> <outDB>", 2, 2),
     Command("swapresults", "db_tools", "swapresults", CAT_UTIL,
             "Transpose a result DB (query<->target)",
             "swapresults <queryDB> <targetDB> <resultDB> <outDB>", 4, 4),
