@@ -137,6 +137,27 @@ def prefilter_kmer(par, command):
         take_only_best_kmer=take_only_best,
         is_nucleotide=target_is_nucl)
 
+    # device (XLA) batched matcher: default on accelerators; the host
+    # numpy matcher stays the oracle (and handles nucleotide + KMER_SCORE)
+    import os
+
+    use_device = os.environ.get("MMSEQS2_TPU_PREFILTER", "auto")
+    if use_device == "auto":
+        import jax
+        use_device = ("device" if jax.default_backend() != "cpu"
+                      else "host")
+    device_ok = (use_device == "device" and not target_is_nucl
+                 and bool(par.diag_score))
+    if device_ok:
+        from ..prefilter.device import DevicePrefilter
+        dev = DevicePrefilter(
+            table, seed, ungapped, kmer_thr, kmer_size, par.max_seqs,
+            par.comp_bias_corr, par.comp_bias_corr_scale,
+            par.min_ungapped_score, generator,
+            take_only_best_kmer=take_only_best, host_fallback=matcher)
+        return _run_device(par, qreader, treader, qdb, dev, matcher,
+                           query_is_profile, same_db, out_path, alpha)
+
     writer = DBWriter(out_path, dbt.DBTYPE_PREFILTER_RES)
     for qid in range(qreader.size):
         q_key = qreader.get_db_key(qid)
@@ -175,5 +196,79 @@ def prefilter_kmer(par, command):
             t_key = treader.get_db_key(tid)
             lines.append(f"{t_key}\t{score}\t{diag}\n")
         writer.write(q_key, "".join(lines).encode())
+    writer.close()
+    return 0
+
+
+def _write_hits(writer, par, treader, q_key, q_len, hits):
+    check_cov = par.cov_thr > 0.0 and par.cov_mode in (0, 2, 5)
+    lines = []
+    for tid, score, diag in hits:
+        if check_cov and not autil.can_be_covered(
+                par.cov_thr, par.cov_mode, q_len,
+                float(treader.get_seq_len(tid))):
+            continue
+        t_key = treader.get_db_key(tid)
+        lines.append(f"{t_key}\t{score}\t{diag}\n")
+    writer.write(q_key, "".join(lines).encode())
+
+
+def _run_device(par, qreader, treader, qdb, dev, matcher, query_is_profile,
+                same_db, out_path, alpha):
+    """Batched device prefilter: accumulate prepared queries until the hit
+    budget fills, then run one jitted device match per batch."""
+    writer = DBWriter(out_path, dbt.DBTYPE_PREFILTER_RES)
+    HIT_BUDGET = 1 << 22
+    batch, budget = [], 0
+
+    def flush():
+        nonlocal batch, budget
+        if not batch:
+            return
+        queries = [b["q"] for b in batch]
+        idents = [b["ident"] for b in batch]
+        rps = [b.get("rp") for b in batch]
+        gens = [b.get("gen") for b in batch]
+        hit_lists = dev.match_batch(
+            queries, idents,
+            rescore_profiles=(rps if any(r is not None for r in rps)
+                              else None),
+            generators=(gens if any(g is not None for g in gens)
+                        else None))
+        for b, hits in zip(batch, hit_lists):
+            _write_hits(writer, par, treader, b["key"], b["qlen"], hits)
+        batch, budget = [], 0
+
+    for qid in range(qreader.size):
+        q_key = qreader.get_db_key(qid)
+        identity_id = -1
+        if same_db or par.include_identity:
+            tid = treader.get_id(q_key)
+            if tid >= 0:
+                identity_id = tid
+        item = {"key": q_key, "ident": identity_id}
+        if query_is_profile:
+            from ..prefilter.kmer_generator import ProfileKmerGenerator
+            from ..profile.io import kmer_rows, parse_profile
+            p = parse_profile(qreader.get_data(qid))
+            ss, si = kmer_rows(p)
+            item["gen"] = ProfileKmerGenerator(
+                dev.k, alpha, ss, si, dev.index.offsets_pat)
+            s = p.scores.astype(np.int64)
+            rescore = np.zeros((p.length, alpha + 1), dtype=np.int64)
+            rescore[:, :20] = np.sign(s) * (np.abs(s) // 4)
+            item["rp"] = rescore
+            item["q"] = p.query_num.astype(np.int64)
+            item["qlen"] = float(p.length)
+        else:
+            item["q"] = qdb.seq_num(qid)
+            item["qlen"] = float(qreader.get_seq_len(qid))
+        # rough budget: estimated hits from the CSR counts are only known
+        # after prepare; batch by query count + residues instead
+        batch.append(item)
+        budget += len(item["q"])
+        if len(batch) >= 64 or budget >= 1 << 16:
+            flush()
+    flush()
     writer.close()
     return 0

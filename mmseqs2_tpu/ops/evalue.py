@@ -93,6 +93,21 @@ class EvalueComputation:
         key = (submat.name, gap_open, gap_extend, is_gapped)
         par = PRECOMPUTED.get(key)
         if par is None:
+            from ..data.alp_params import ALP_PARAMS
+            raw = ALP_PARAMS.get(key)
+            if raw is not None:
+                # [lambda, K, a_J, b_J, a_I, b_I, alpha_J, beta_J,
+                #  alpha_I, beta_I, sigma, tau] -> GumbelParams field order
+                par = GumbelParams(raw[0], raw[1], raw[2], raw[3], raw[4],
+                                   raw[5], raw[6], raw[7], raw[8], raw[9],
+                                   raw[10], raw[11])
+        if par is None:
+            import warnings
+            warnings.warn(
+                f"no precomputed ALP Gumbel parameters for {key}; falling "
+                "back to gapless Karlin-Altschul statistics — E-values will "
+                "be approximate (reference would run the ALP simulation)",
+                stacklevel=2)
             par = self._simulate(submat, gap_open, gap_extend, is_gapped)
         # initParameters mapping (lib/alp/sls_alignment_evaluer.cpp:657-790):
         # a_I = d_a2, a_J = d_a1, etc.

@@ -1,0 +1,304 @@
+"""Target-sharded multi-chip k-mer prefilter.
+
+TPU-native replacement for the reference's target-DB split machinery
+(Prefiltering.cpp:287-310 split sizing, :412-598 file-based split merge,
+:605-689 MPI ranks): each mesh-'t' device owns a contiguous shard of the
+target DB with its own CSR k-mer index; queries are replicated over 't'
+(and can be data-parallel over a 'q' axis by batching). Per-shard stages
+run locally; the adaptive score threshold is computed from the psum-merged
+per-query histogram, so results are **byte-identical to the unsharded
+run** — stronger than the reference, whose per-split thresholds make split
+output depend on the split count.
+
+Dataflow per batch (stages from prefilter/device_stages.py):
+  local: expand -> sort -> double-diagonal -> rescore -> keepMax
+  collective: psum(histogram) -> identical threshold on every shard
+  local: select top max_hits candidates >= thr, exact-rescore saturated
+  collective: all_gather selected candidates -> global re-rank/truncate
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..prefilter.device_stages import (BIG, I32_MAX, bucket, make_rescore,
+                                       stage_candidates, stage_finalize,
+                                       stage_hist, stage_keepmax,
+                                       stage_select, threshold_from_hist)
+from ..prefilter.kmer_index import KmerIndexTable
+from ..prefilter.query_matcher import UCHAR_MAX, USHRT_MAX
+
+
+def _shift1(x, fill):
+    return jnp.concatenate([jnp.full((1,), fill, x.dtype), x[:-1]])
+
+
+def make_sharded_prefilter_step(mesh: Mesh, *, h_cap, n_q, lq_max, ln_max,
+                                max_hits, min_diag_thr, chunk, out_sz):
+    """Build the jitted shard_map prefilter step over mesh axis 't'."""
+    n_t = mesh.shape["t"]
+    c_cap = h_cap
+    gsz = bucket(n_t * out_sz, 256)
+
+    def local_step(starts, counts, qpos, qid, entries_seq, entries_pos,
+                   t_cat, t_offsets, t_lens, shard_base,
+                   prof, q_lens, identity):
+        starts, counts = starts[0], counts[0]
+        entries_seq, entries_pos = entries_seq[0], entries_pos[0]
+        t_cat, t_offsets, t_lens = t_cat[0], t_offsets[0], t_lens[0]
+        base = shard_base[0]
+
+        cqid, cidl, cdiag, cvalid, n_cand, total = stage_candidates(
+            starts, counts, qpos, qid, entries_seq, entries_pos,
+            h_cap=h_cap, c_cap=c_cap)
+        rescore = make_rescore(t_cat, t_offsets, t_lens, prof, q_lens,
+                               lq_max=lq_max, ln_max=ln_max, chunk=chunk)
+        cscore = rescore(cqid, cidl, cdiag, cvalid, cap=True)
+        is_best = stage_keepmax(cqid, cidl, cscore, cvalid, c_cap=c_cap)
+        hist = stage_hist(cqid, cscore, is_best, n_q=n_q, c_cap=c_cap)
+        hist = jax.lax.psum(hist, "t")
+        thr, truncated = threshold_from_hist(hist, max_hits, min_diag_thr)
+
+        cidg = jnp.where(cvalid, cidl + base, I32_MAX)
+        kqid, kidg, kdiag, kscore, kvalid = stage_select(
+            cqid, cidg, cdiag, cscore, cvalid, is_best, thr, identity,
+            c_cap=c_cap, max_hits=max_hits, out_sz=out_sz,
+            rank_cap=max_hits)
+        sat = kvalid & (kscore >= UCHAR_MAX)
+        exact = rescore(kqid, jnp.where(sat, kidg - base, 0), kdiag, sat,
+                        cap=False)
+        kfinal = jnp.where(sat, exact, kscore)
+
+        # merge across target shards
+        gq = jax.lax.all_gather(kqid, "t").reshape(-1)
+        gi = jax.lax.all_gather(kidg, "t").reshape(-1)
+        gd = jax.lax.all_gather(kdiag, "t").reshape(-1)
+        gs = jax.lax.all_gather(kscore, "t").reshape(-1)
+        gf = jax.lax.all_gather(kfinal, "t").reshape(-1)
+        gv = jax.lax.all_gather(kvalid.astype(jnp.int32), "t").reshape(-1)
+        pad = gsz - gq.shape[0]
+        if pad:
+            gq = jnp.pad(gq, (0, pad), constant_values=I32_MAX)
+            gi = jnp.pad(gi, (0, pad), constant_values=I32_MAX)
+            gd = jnp.pad(gd, (0, pad))
+            gs = jnp.pad(gs, (0, pad))
+            gf = jnp.pad(gf, (0, pad))
+            gv = jnp.pad(gv, (0, pad))
+
+        # global re-rank in selection order (capped score desc, id asc)
+        sq, _, sid, sdiag, sfin, sval = jax.lax.sort(
+            (jnp.where(gv.astype(bool), gq, I32_MAX), 255 - gs, gi, gd, gf,
+             gv), num_keys=3, is_stable=True)
+        sval = sval.astype(bool)
+        gidx = jnp.arange(gsz, dtype=jnp.int32)
+        qfirst = jnp.concatenate([jnp.ones(1, bool), sq[1:] != sq[:-1]])
+        seg_start = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(qfirst, gidx, 0))
+        rank = gidx - seg_start
+        avail = max_hits - (identity[jnp.where(sval, sq, 0)] >= 0)
+        keep = sval & (rank < avail)
+
+        oq, _, oid, odiag, ofs, oval = stage_finalize(
+            jnp.where(keep, sq, I32_MAX), sid, sdiag, sfin, keep)
+        return (oq[None], oid[None], odiag[None], ofs[None],
+                oval.astype(jnp.int32)[None], truncated[None])
+
+    shard = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P("t", None), P("t", None), P(None), P(None),
+                  P("t", None), P("t", None), P("t", None), P("t", None),
+                  P("t", None), P("t"),
+                  P(None, None, None), P(None), P(None)),
+        out_specs=(P("t", None), P("t", None), P("t", None), P("t", None),
+                   P("t", None), P("t", None)),
+        check_rep=False)
+
+    @jax.jit
+    def step(*args):
+        oq, oid, odiag, ofs, oval, trunc = shard(*args)
+        # every shard computed identical merged output; take shard 0
+        return (oq[0], oid[0], odiag[0], ofs[0], oval[0].astype(bool),
+                trunc[0])
+
+    return step
+
+
+class ShardedPrefilter:
+    """Host driver: builds per-shard CSR indexes and runs the sharded
+    prefilter step; results match DevicePrefilter/QueryMatcher exactly."""
+
+    def __init__(self, masked_seqs, seed, ungapped, kmer_thr, kmer_size,
+                 max_hits, mesh, aa_bias_corr=True, bias_scale=1.0,
+                 min_diag_score_thr=15, generator=None,
+                 take_only_best_kmer=False, host_fallback=None,
+                 spaced=True, index_kmer_thr=None):
+        from ..prefilter.device import DevicePrefilter
+
+        self.mesh = mesh
+        self.n_t = mesh.shape["t"]
+        self.max_hits = max_hits
+        self.min_diag_thr = min_diag_score_thr
+        self.host_fallback = host_fallback
+        n = len(masked_seqs)
+        alpha = seed.alphabet_size - 1
+        x_idx = seed.alphabet_size - 1
+        self_score = np.diag(seed.sub_matrix).astype(np.int64)
+        if index_kmer_thr is None:
+            index_kmer_thr = kmer_thr
+
+        # contiguous target shards (decomposeDomainByAminoAcid analogue)
+        bounds = np.linspace(0, n, self.n_t + 1).astype(np.int64)
+        self.shard_base = bounds[:-1].astype(np.int32)
+        self.tables = []
+        seqs_per = []
+        for t in range(self.n_t):
+            chunk_seqs = masked_seqs[bounds[t]:bounds[t + 1]]
+            tbl = KmerIndexTable(alpha, kmer_size, spaced)
+            tbl.build(chunk_seqs, x_idx, index_kmer_thr, self_score)
+            self.tables.append(tbl)
+            seqs_per.append(chunk_seqs)
+
+        # the unsharded device matcher supplies the host-side stage-0
+        # machinery (triples + profiles); its own index is the full table
+        full = KmerIndexTable(alpha, kmer_size, spaced)
+        full.build(masked_seqs, x_idx, index_kmer_thr, self_score)
+        self.dev = DevicePrefilter(
+            full, seed, ungapped, kmer_thr, kmer_size, max_hits,
+            aa_bias_corr, bias_scale, min_diag_score_thr, generator,
+            take_only_best_kmer, host_fallback)
+
+        # padded per-shard device arrays
+        e_max = bucket(max(max(len(t.entries_seq) for t in self.tables), 1),
+                       64)
+        r_max = bucket(max(max(sum(len(s) for s in ss) for ss in seqs_per),
+                           1), 64)
+        s_max = max(len(ss) for ss in seqs_per)
+        es = np.zeros((self.n_t, e_max), np.int32)
+        ep = np.zeros((self.n_t, e_max), np.int32)
+        tc = np.zeros((self.n_t, r_max + 1), np.int32)
+        to = np.zeros((self.n_t, s_max), np.int32)
+        tl = np.zeros((self.n_t, s_max), np.int32)
+        for t, (tbl, ss) in enumerate(zip(self.tables, seqs_per)):
+            ne = len(tbl.entries_seq)
+            es[t, :ne] = tbl.entries_seq
+            ep[t, :ne] = tbl.entries_pos.astype(np.int32)
+            lens = [len(s) for s in ss]
+            offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+            if ss:
+                cat = np.concatenate(ss).astype(np.int32)
+                tc[t, :len(cat)] = cat
+            to[t, :len(ss)] = offs[:-1]
+            tl[t, :len(ss)] = lens
+        self.d_es = jnp.asarray(es)
+        self.d_ep = jnp.asarray(ep)
+        self.d_tc = jnp.asarray(tc)
+        self.d_to = jnp.asarray(to)
+        self.d_tl = jnp.asarray(tl)
+        self.d_base = jnp.asarray(self.shard_base)
+        self._steps = {}
+
+    def match_batch(self, queries, identity_ids, rescore_profiles=None,
+                    generators=None):
+        B = len(queries)
+        starts_l = [[] for _ in range(self.n_t)]
+        counts_l = [[] for _ in range(self.n_t)]
+        qpos_l, qid_l, profs, qlens = [], [], [], []
+        for b, q_num in enumerate(queries):
+            rp = rescore_profiles[b] if rescore_profiles else None
+            gen = generators[b] if generators else None
+            if rp is not None:
+                comp_bias = np.zeros(len(q_num), np.float32)
+                prof = rp.astype(np.int32)
+            else:
+                from ..ops.encode import calc_local_aa_bias
+                comp_bias = (calc_local_aa_bias(
+                    q_num, self.dev.seed.sub_matrix, self.dev.seed.pback,
+                    self.dev.bias_scale) if self.dev.aa_bias_corr
+                    else np.zeros(len(q_num), np.float32))
+                corr = np.trunc(np.where(comp_bias < 0.0,
+                                         comp_bias / 4 - 0.5,
+                                         comp_bias / 4 + 0.5)).astype(
+                                             np.int32)
+                prof = (self.dev.ungapped.sub_matrix[q_num, :].astype(
+                    np.int32) + corr[:, None])
+            codes, qpos = self.dev.query_triples(q_num, comp_bias, gen)
+            for t in range(self.n_t):
+                s, c = self.tables[t].lists(codes)
+                starts_l[t].append(s.astype(np.int32))
+                counts_l[t].append(c.astype(np.int32))
+            qpos_l.append(qpos)
+            qid_l.append(np.full(len(qpos), b, np.int32))
+            profs.append(prof)
+            qlens.append(len(q_num))
+
+        qpos = np.concatenate(qpos_l)
+        qid = np.concatenate(qid_l)
+        K = len(qpos)
+        k_cap = bucket(max(K, 1))
+        starts = np.zeros((self.n_t, k_cap), np.int32)
+        counts = np.zeros((self.n_t, k_cap), np.int32)
+        for t in range(self.n_t):
+            s = np.concatenate(starts_l[t])
+            c = np.concatenate(counts_l[t])
+            starts[t, :K] = s
+            counts[t, :K] = c
+        qpos = np.pad(qpos, (0, k_cap - K))
+        qid = np.pad(qid, (0, k_cap - K), constant_values=B - 1)
+        total_max = int(counts.sum(axis=1).max())
+
+        lq_max = bucket(max(qlens), 64)
+        alpha = self.dev.ungapped.alphabet_size
+        prof_pad = np.full((B, lq_max, alpha), -128, np.int32)
+        for b in range(B):
+            prof_pad[b, :qlens[b], :profs[b].shape[1]] = profs[b]
+        ln_max = bucket(min(lq_max, self.dev.max_t_len), 64)
+        h_cap = bucket(max(total_max, 1), 4096)
+        out_sz = bucket(B * self.max_hits, 256)
+
+        key = (h_cap, B, lq_max, ln_max, out_sz)
+        if key not in self._steps:
+            self._steps[key] = make_sharded_prefilter_step(
+                self.mesh, h_cap=h_cap, n_q=B, lq_max=lq_max,
+                ln_max=ln_max, max_hits=self.max_hits,
+                min_diag_thr=self.min_diag_thr,
+                chunk=min(4096, h_cap), out_sz=out_sz)
+        step = self._steps[key]
+        oq, oid, odiag, ofs, oval, truncated = step(
+            jnp.asarray(starts), jnp.asarray(counts), jnp.asarray(qpos),
+            jnp.asarray(qid), self.d_es, self.d_ep, self.d_tc, self.d_to,
+            self.d_tl, self.d_base, jnp.asarray(prof_pad),
+            jnp.asarray(np.array(qlens, np.int32)),
+            jnp.asarray(np.array(identity_ids, np.int32)))
+        oq = np.asarray(oq)
+        oid = np.asarray(oid)
+        odiag = np.asarray(odiag)
+        ofs = np.asarray(ofs)
+        oval = np.asarray(oval)
+        truncated = np.asarray(truncated)
+
+        results = [[] for _ in range(B)]
+        for b in range(B):
+            if identity_ids[b] >= 0:
+                results[b].append((identity_ids[b], USHRT_MAX, 0))
+        for i in range(len(oq)):
+            if not oval[i]:
+                continue
+            b = int(oq[i])
+            if truncated[b]:
+                continue
+            results[b].append((int(oid[i]), int(ofs[i]),
+                               int(np.int16(np.uint16(odiag[i])))))
+        if truncated.any() and self.host_fallback is not None:
+            for b in np.nonzero(truncated)[0]:
+                gen = generators[b] if generators else None
+                if gen is not None:
+                    self.host_fallback.generator = gen
+                rp = rescore_profiles[b] if rescore_profiles else None
+                results[b] = self.host_fallback.match(
+                    queries[b], identity_ids[b], diagonal_scoring=True,
+                    rescore_profile=rp)
+        return results

@@ -1,0 +1,288 @@
+"""Device-resident batched k-mer prefilter (the QueryMatcher hot path on TPU).
+
+Reference semantics: src/prefiltering/QueryMatcher.cpp (matchQuery :103-241,
+match :243-376, getResult :401-458), CacheFriendlyOperations.cpp
+(findDuplicates :38-180), UngappedAlignment.cpp (diagonal rescore, 255 cap).
+The host oracle is prefilter/query_matcher.py; tests cross-check hit-for-hit.
+
+TPU-first design (SURVEY.md §7.3): instead of the reference's per-query
+OpenMP loop with radix-binned byte arrays, a whole *batch* of queries is
+matched in one jitted XLA program over static-capacity buffers:
+
+  1. posting-list expansion   — scatter-ones + cumsum over the prefix-summed
+                                counts (no per-element binary search)
+  2. (qid, id)-stable sort    — replaces radix binning (lax.sort, 2 keys)
+  3. double-diagonal detect   — vectorized compares + associative "last
+                                duplicate wins" scan (the byte-array quirk:
+                                an id's first entry with u8 diag 0 counts)
+  4. compaction               — cumsum + scatter
+  5. ungapped diagonal rescore— gather target windows; max-subarray via
+                                cumsum/cummin prefix identity (no sequential
+                                scan):  run[l] = cum[l] - min(0, cummin[l-1])
+  6. keepMaxScoreElementOnly  — segment_max + segment_min tie-break
+  7. adaptive score threshold — per-query 256-bin histogram (segment_sum)
+  8. top-K selection + final (score desc, id asc) ordering — one more sort
+
+The host prepares per-window similar-k-mer triples (KmerGenerator) and the
+CSR (starts, counts) lookups; everything after that runs on device. The
+rare rescoreHits truncation path (score threshold saturated at 255,
+QueryMatcher.cpp:184-214) is detected on device and those queries fall back
+to the host oracle.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.encode import calc_local_aa_bias
+from .device_stages import (BIG, I32_MAX, bucket as _bucket, make_rescore,
+                            stage_candidates, stage_finalize, stage_hist,
+                            stage_keepmax, stage_select, threshold_from_hist)
+from .kmer_index import extract_kmers
+from .query_matcher import UCHAR_MAX, USHRT_MAX
+
+
+# --------------------------------------------------------------------------
+# jitted core
+# --------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h_cap", "c_cap", "n_q", "lq_max", "ln_max",
+                     "max_hits", "min_diag_thr", "chunk", "out_sz"))
+def _device_match(starts, counts, qpos, qid,          # (K,) triples
+                  entries_seq, entries_pos,           # (E,) index entries
+                  t_cat, t_offsets, t_lens,           # target store
+                  prof, q_lens, identity,             # (B,Lq,A), (B,), (B,)
+                  *, h_cap, c_cap, n_q, lq_max, ln_max, max_hits,
+                  min_diag_thr, chunk, out_sz):
+    cqid, cid, cdiag, cvalid, n_cand, total = stage_candidates(
+        starts, counts, qpos, qid, entries_seq, entries_pos,
+        h_cap=h_cap, c_cap=c_cap)
+    rescore = make_rescore(t_cat, t_offsets, t_lens, prof, q_lens,
+                           lq_max=lq_max, ln_max=ln_max, chunk=chunk)
+    cscore = rescore(cqid, cid, cdiag, cvalid, cap=True)
+    is_best = stage_keepmax(cqid, cid, cscore, cvalid, c_cap=c_cap)
+    hist = stage_hist(cqid, cscore, is_best, n_q=n_q, c_cap=c_cap)
+    thr, truncated = threshold_from_hist(hist, max_hits, min_diag_thr)
+    kqid, kid, kdiag, kscore, kvalid = stage_select(
+        cqid, cid, cdiag, cscore, cvalid, is_best, thr, identity,
+        c_cap=c_cap, max_hits=max_hits, out_sz=out_sz)
+    n_keep = jnp.sum(kvalid.astype(jnp.int32))
+
+    # exact (uncapped) scores for saturated kept hits (getResult :430-436)
+    sat = kvalid & (kscore >= UCHAR_MAX)
+    exact = rescore(kqid, kid, kdiag, sat, cap=False)
+    final_score = jnp.where(sat, exact, kscore)
+
+    oq, _, oid, odiag, ofs, oval = stage_finalize(
+        kqid, kid, kdiag, final_score, kvalid)
+    return (oq, oid, odiag, ofs, oval.astype(bool), n_cand, n_keep,
+            truncated, total)
+
+
+# --------------------------------------------------------------------------
+# host driver
+# --------------------------------------------------------------------------
+
+class DevicePrefilter:
+    """Batched device QueryMatcher. Holds the index on device; `match_batch`
+    takes a batch of numeric queries and returns per-query hit lists
+    identical to QueryMatcher.match()."""
+
+    H_CAP_MAX = 1 << 25        # 32M expanded hits per device call
+
+    def __init__(self, index_table, seed, ungapped, kmer_thr, kmer_size,
+                 max_hits, aa_bias_corr=True, bias_scale=1.0,
+                 min_diag_score_thr=15, generator=None,
+                 take_only_best_kmer=False, host_fallback=None):
+        self.index = index_table
+        self.seed = seed
+        self.ungapped = ungapped
+        self.kmer_thr = kmer_thr
+        self.k = kmer_size
+        self.max_hits = max_hits
+        self.aa_bias_corr = aa_bias_corr
+        self.bias_scale = bias_scale
+        self.min_diag_thr = min_diag_score_thr
+        self.generator = generator
+        self.take_only_best = take_only_best_kmer
+        self.host_fallback = host_fallback   # QueryMatcher oracle
+        self.x_index = seed.alphabet_size - 1
+
+        seqs = index_table.masked_seqs
+        t_lens = np.array([len(s) for s in seqs] or [0], dtype=np.int32)
+        t_offsets = np.concatenate([[0], np.cumsum(t_lens)]).astype(np.int32)
+        t_cat = (np.concatenate(seqs) if len(seqs) else
+                 np.zeros(0, np.uint8)).astype(np.int32)
+        self.d_entries_seq = jnp.asarray(np.append(
+            index_table.entries_seq, 0).astype(np.int32))
+        self.d_entries_pos = jnp.asarray(np.append(
+            index_table.entries_pos.astype(np.int32), 0))
+        self.d_t_cat = jnp.asarray(np.append(t_cat, 0).astype(np.int32))
+        self.d_t_offsets = jnp.asarray(t_offsets[:-1] if len(seqs)
+                                       else np.zeros(1, np.int32))
+        self.d_t_lens = jnp.asarray(t_lens)
+        self.n_targets = len(seqs)
+        self.max_t_len = int(t_lens.max()) if len(seqs) else 1
+
+    # -- host-side stage 0: windows -> similar k-mer triples ---------------
+    def query_triples(self, q_num, comp_bias, generator=None):
+        """(kmer codes, qpos) for one query, reference enumeration order."""
+        idx_all, pos_all, has_x = extract_kmers(
+            q_num, self.index.offsets_pat, self.index.span,
+            self.index.alpha, self.x_index)
+        gen = generator if generator is not None else self.generator
+        codes_chunks, pos_chunks = [], []
+        for w in range(len(pos_all)):
+            if has_x[w]:
+                continue
+            i = int(pos_all[w])
+            bias_f = comp_bias[i + self.index.offsets_pat].sum()
+            bias = int(np.trunc(bias_f - 0.5 if bias_f < 0.0
+                                else bias_f + 0.5))
+            thr = max(self.kmer_thr - bias, 0)
+            if self.take_only_best:
+                similar = np.array([idx_all[w]], dtype=np.int64)
+            else:
+                window = q_num[i + self.index.offsets_pat].astype(np.int64)
+                similar = gen.generate(window, thr, i)
+            if len(similar) == 0:
+                continue
+            codes_chunks.append(similar)
+            pos_chunks.append(np.full(len(similar), i, np.int32))
+        if not codes_chunks:
+            return np.zeros(0, np.int64), np.zeros(0, np.int32)
+        return np.concatenate(codes_chunks), np.concatenate(pos_chunks)
+
+    def prepare_query(self, q_num, rescore_profile=None, generator=None):
+        """Host stage for one query: returns (starts, counts, qpos, prof)."""
+        if rescore_profile is not None:
+            comp_bias = np.zeros(len(q_num), np.float32)
+            prof = rescore_profile.astype(np.int32)
+        else:
+            if self.aa_bias_corr:
+                comp_bias = calc_local_aa_bias(
+                    q_num, self.seed.sub_matrix, self.seed.pback,
+                    self.bias_scale)
+            else:
+                comp_bias = np.zeros(len(q_num), np.float32)
+            corr = np.trunc(np.where(comp_bias < 0.0, comp_bias / 4 - 0.5,
+                                     comp_bias / 4 + 0.5)).astype(np.int32)
+            prof = (self.ungapped.sub_matrix[q_num, :].astype(np.int32)
+                    + corr[:, None])
+        codes, qpos = self.query_triples(q_num, comp_bias, generator)
+        s, c = self.index.lists(codes)
+        return s.astype(np.int32), c.astype(np.int32), qpos, prof
+
+    def match_batch(self, queries, identity_ids, rescore_profiles=None,
+                    generators=None):
+        """queries: list of numeric query arrays. Returns list of hit-tuple
+        lists [(local target id, prefScore, diagonal i32), ...]."""
+        B = len(queries)
+        starts_l, counts_l, qpos_l, qid_l = [], [], [], []
+        profs, qlens = [], []
+        for b, q_num in enumerate(queries):
+            rp = rescore_profiles[b] if rescore_profiles else None
+            gen = generators[b] if generators else None
+            s, c, qpos, prof = self.prepare_query(q_num, rp, gen)
+            starts_l.append(s)
+            counts_l.append(c)
+            qpos_l.append(qpos)
+            qid_l.append(np.full(len(qpos), b, np.int32))
+            profs.append(prof)
+            qlens.append(len(q_num))
+
+        starts = np.concatenate(starts_l)
+        counts = np.concatenate(counts_l)
+        qpos = np.concatenate(qpos_l)
+        qid = np.concatenate(qid_l)
+        total = int(counts.sum())
+        results = [[] for _ in range(B)]
+        for b in range(B):
+            if identity_ids[b] >= 0:
+                results[b].append((identity_ids[b], USHRT_MAX, 0))
+        if total == 0 or self.n_targets == 0:
+            return results
+
+        lq_max = _bucket(max(qlens), 64)
+        alpha = self.ungapped.alphabet_size
+        prof_pad = np.full((B, lq_max, alpha), -128, np.int32)
+        for b in range(B):
+            prof_pad[b, :qlens[b], :profs[b].shape[1]] = profs[b]
+        ln_max = _bucket(min(lq_max, self.max_t_len), 64)
+
+        K = len(starts)
+        k_cap = _bucket(max(K, 1))
+        h_cap = _bucket(max(total, 1), 4096)
+        if h_cap > self.H_CAP_MAX:
+            if B == 1:
+                # single over-budget query: host oracle handles it
+                if self.host_fallback is None:
+                    raise MemoryError(
+                        f"query hit volume {total} exceeds device capacity")
+                gen = generators[0] if generators else None
+                if gen is not None:
+                    self.host_fallback.generator = gen
+                rp = rescore_profiles[0] if rescore_profiles else None
+                return [self.host_fallback.match(
+                    queries[0], identity_ids[0], diagonal_scoring=True,
+                    rescore_profile=rp)]
+            mid = B // 2
+            def sub(sl):
+                return self.match_batch(
+                    queries[sl], identity_ids[sl],
+                    rescore_profiles[sl] if rescore_profiles else None,
+                    generators[sl] if generators else None)
+            return sub(slice(0, mid)) + sub(slice(mid, B))
+        pad = k_cap - K
+        starts = np.pad(starts, (0, pad))
+        counts = np.pad(counts, (0, pad))
+        qpos = np.pad(qpos, (0, pad))
+        qid = np.pad(qid, (0, pad), constant_values=B - 1)
+        out_sz = _bucket(B * self.max_hits, 256)
+
+        c_cap = max(4096, h_cap // 8)
+        while True:
+            (oq, oid, odiag, ofs, oval, n_cand, n_keep, truncated,
+             tot) = _device_match(
+                jnp.asarray(starts), jnp.asarray(counts), jnp.asarray(qpos),
+                jnp.asarray(qid), self.d_entries_seq, self.d_entries_pos,
+                self.d_t_cat, self.d_t_offsets, self.d_t_lens,
+                jnp.asarray(prof_pad),
+                jnp.asarray(np.array(qlens, np.int32)),
+                jnp.asarray(np.array(identity_ids, np.int32)),
+                h_cap=h_cap, c_cap=c_cap, n_q=B, lq_max=lq_max,
+                ln_max=ln_max, max_hits=self.max_hits,
+                min_diag_thr=self.min_diag_thr,
+                chunk=min(4096, c_cap), out_sz=out_sz)
+            if int(n_cand) <= c_cap or c_cap >= h_cap:
+                break
+            c_cap = _bucket(int(n_cand), c_cap * 2)
+        oq = np.asarray(oq)
+        oid = np.asarray(oid)
+        odiag = np.asarray(odiag)
+        ofs = np.asarray(ofs)
+        oval = np.asarray(oval)
+        truncated = np.asarray(truncated)
+
+        for i in range(len(oq)):
+            if not oval[i]:
+                continue
+            b = int(oq[i])
+            if truncated[b]:
+                continue
+            results[b].append((int(oid[i]), int(ofs[i]),
+                               int(np.int16(np.uint16(odiag[i])))))
+        if truncated.any() and self.host_fallback is not None:
+            for b in np.nonzero(truncated)[0]:
+                gen = generators[b] if generators else None
+                if gen is not None:
+                    self.host_fallback.generator = gen
+                rp = rescore_profiles[b] if rescore_profiles else None
+                results[b] = self.host_fallback.match(
+                    queries[b], identity_ids[b], diagonal_scoring=True,
+                    rescore_profile=rp)
+        return results

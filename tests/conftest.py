@@ -1,27 +1,57 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
-Must set env before any jax import so sharding tests can build an 8-device
-mesh without TPU hardware. Set MMSEQS2_TPU_TEST_BACKEND=tpu to run on a real
-chip instead.
+The axon TPU plugin registers itself from sitecustomize at interpreter
+startup — before pytest loads this file — so clearing env vars here is too
+late for this process. Instead, re-exec the whole pytest run once with a
+cleaned environment (no axon sitecustomize on PYTHONPATH, JAX_PLATFORMS=cpu,
+8 virtual CPU devices). The re-exec happens in pytest_configure, after
+stopping pytest's global fd capture so the child's output still reaches the
+caller. Set MMSEQS2_TPU_TEST_BACKEND=tpu to run on the real chip instead.
 """
 
 import os
-
-if os.environ.get("MMSEQS2_TPU_TEST_BACKEND", "cpu") == "cpu":
-    # the axon TPU plugin self-registers from sitecustomize when this is set
-    # and overrides JAX_PLATFORMS; clear it so tests really run on CPU
-    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8").strip()
-
 import pathlib
+import sys
 
 import pytest
 
 REFERENCE = pathlib.Path("/root/reference")
+
+
+def _needs_reexec():
+    return (os.environ.get("MMSEQS2_TPU_TEST_BACKEND", "cpu") == "cpu"
+            and bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
+            and not os.environ.get("MMSEQS2_TPU_TEST_REEXECED"))
+
+
+def pytest_configure(config):
+    if _needs_reexec():
+        capman = config.pluginmanager.getplugin("capturemanager")
+        if capman is not None:
+            capman.stop_global_capturing()
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["MMSEQS2_TPU_TEST_REEXECED"] = "1"
+        env["JAX_PLATFORMS"] = "cpu"
+        pp = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+              if p and "axon_site" not in p]
+        env["PYTHONPATH"] = os.pathsep.join(pp)
+        flags = env.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            env["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8").strip()
+        argv = list(getattr(sys, "orig_argv", None)
+                    or [sys.executable, "-m", "pytest"] + sys.argv[1:])
+        os.execvpe(argv[0], argv, env)
+
+
+if (os.environ.get("MMSEQS2_TPU_TEST_BACKEND", "cpu") == "cpu"
+        and not os.environ.get("PALLAS_AXON_POOL_IPS")):
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8").strip()
 
 
 @pytest.fixture(scope="session")

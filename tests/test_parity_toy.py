@@ -422,3 +422,19 @@ def test_profile2seq_parity(tmp_path, cmd, gold):
     out = str(tmp_path / "seq")
     run_cmd(cmd, [str(GOLDEN / "it_profile_0"), out])
     _db_equal(out, str(UTIL / gold))
+
+
+@pytest.mark.parametrize("mat,go,ge", [
+    ("blosum62", 13, 2), ("VTML80", 11, 1), ("PAM30", 9, 1)])
+def test_align_nondefault_scoring_parity(tmp_path, mat, go, ge):
+    """E-value/score parity for non-default (matrix, gap) combos: exercises
+    the harvested ALP Gumbel parameter table (data/alp_params.py) against
+    goldens from the reference binary running its live ALP simulation."""
+    out = str(tmp_path / "aln")
+    run_cmd("align", [str(GOLDEN / "qdb"), str(GOLDEN / "qdb"),
+                      str(GOLDEN / "pref"), out,
+                      "--sub-mat", f"{mat}.out", "--gap-open", str(go),
+                      "--gap-extend", str(ge)])
+    got = entries_by_key(out)
+    want = entries_by_key(str(GOLDEN / f"aln_{mat}_{go}_{ge}"))
+    assert got == want
