@@ -50,10 +50,14 @@ def compute_kmer_size(residues: int) -> int:
 
 def build_index(tdb: EncodedDB, seed, kmer_size: int, kmer_thr: int,
                 mask: bool, mask_prob: float, mask_lower: bool,
-                spaced: bool, pattern: str):
+                spaced: bool, pattern: str, seq_range=None):
+    """seq_range=(lo, hi): build over a contiguous target slice with local
+    ids 0..hi-lo (the per-split index of the reference's target-split mode,
+    Prefiltering.cpp:755-786)."""
     alpha = seed.alphabet_size - 1      # X removed for seeding
     x_idx = seed.alphabet_size - 1
-    seqs = [tdb.seq_num(i).astype(np.uint8) for i in range(tdb.size)]
+    lo, hi = seq_range if seq_range is not None else (0, tdb.size)
+    seqs = [tdb.seq_num(i).astype(np.uint8) for i in range(lo, hi)]
     if mask:
         lr = likelihood_ratio_matrix(seed)
         masked, n_masked = mask_batch(seqs, lr, x_idx, mask_prob)
@@ -62,7 +66,7 @@ def build_index(tdb: EncodedDB, seed, kmer_size: int, kmer_thr: int,
         masked = seqs
     if mask_lower:
         for i, s in enumerate(masked):
-            raw = tdb.reader.get_seq(i)
+            raw = tdb.reader.get_seq(lo + i)
             lower = np.frombuffer(raw, dtype=np.uint8) >= ord('a')
             s = s.copy()
             s[lower[: len(s)]] = x_idx
@@ -114,12 +118,29 @@ def prefilter_kmer(par, command):
                       or (query_is_nucl and target_is_nucl))
 
     spaced = par.spaced_kmer_mode == 1
-    table = build_index(tdb, seed, kmer_size,
-                        0 if (query_is_profile or query_is_nucl)
-                        else kmer_thr,
-                        par.mask == 1, par.mask_prob,
-                        par.mask_lower_case == 1, spaced,
-                        par.spaced_kmer_pattern)
+    index_thr = 0 if (query_is_profile or query_is_nucl) else kmer_thr
+    table = None
+    from ..prefilter.index_io import index_path_for, load_index
+    idx_path = index_path_for(tdb_path)
+    if idx_path is not None:
+        try:
+            cand, meta = load_index(idx_path)
+            if (cand.k == kmer_size and cand.alpha == seed.alphabet_size - 1
+                    and meta.get("kmer_thr") == index_thr
+                    and meta.get("spaced") == int(spaced)
+                    and meta.get("mask") == int(par.mask)):
+                table = cand
+                log.info(f"Using prebuilt index {idx_path}")
+            else:
+                log.info(f"Prebuilt index {idx_path} incompatible with "
+                         "requested parameters; rebuilding")
+        except Exception as e:            # corrupt/old index: rebuild
+            log.warning(f"Failed to load prebuilt index {idx_path}: {e}")
+    if table is None:
+        table = build_index(tdb, seed, kmer_size, index_thr,
+                            par.mask == 1, par.mask_prob,
+                            par.mask_lower_case == 1, spaced,
+                            par.spaced_kmer_pattern)
     log.info(f"Index table: {len(table.entries_seq)} k-mer positions")
 
     alpha = seed.alphabet_size - 1
@@ -148,6 +169,12 @@ def prefilter_kmer(par, command):
                       else "host")
     device_ok = (use_device == "device" and not target_is_nucl
                  and bool(par.diag_score))
+    n_splits = par.split if par.split_mode in (0, 2) else 0
+    if n_splits > 1 and not target_is_nucl and bool(par.diag_score):
+        return _run_device_splits(
+            par, qreader, treader, qdb, tdb, seed, ungapped, kmer_size,
+            kmer_thr, spaced, generator, take_only_best, matcher,
+            query_is_profile, same_db, out_path, alpha, n_splits)
     if device_ok:
         from ..prefilter.device import DevicePrefilter
         dev = DevicePrefilter(
@@ -270,5 +297,131 @@ def _run_device(par, qreader, treader, qdb, dev, matcher, query_is_profile,
         if len(batch) >= 64 or budget >= 1 << 16:
             flush()
     flush()
+    writer.close()
+    return 0
+
+
+def _run_device_splits(par, qreader, treader, qdb, tdb, seed, ungapped,
+                       kmer_size, kmer_thr, spaced, generator,
+                       take_only_best, matcher, query_is_profile, same_db,
+                       out_path, alpha, n_splits):
+    """Out-of-core target-split prefilter: per-split index build + device
+    candidate stage, exact cross-split merge (prefilter/split_merge.py).
+    Output is byte-identical to the unsplit run."""
+    from ..prefilter.device import DevicePrefilter
+    from ..prefilter.split_merge import finalize_query, self_ungapped_score
+
+    nt = treader.size
+    bounds = np.linspace(0, nt, n_splits + 1).astype(np.int64)
+    log.info(f"Target split mode: {n_splits} splits of ~"
+             f"{nt // max(n_splits, 1)} sequences")
+
+    # host stage once per query: triples + rescore profile
+    queries, qmeta = [], []
+    for qid_i in range(qreader.size):
+        q_key = qreader.get_db_key(qid_i)
+        identity_id = -1
+        if same_db or par.include_identity:
+            tid = treader.get_id(q_key)
+            if tid >= 0:
+                identity_id = tid
+        if query_is_profile:
+            from ..prefilter.kmer_generator import ProfileKmerGenerator
+            from ..profile.io import kmer_rows, parse_profile
+            p = parse_profile(qreader.get_data(qid_i))
+            ss, si = kmer_rows(p)
+            from ..prefilter.kmer_index import pattern_offsets
+            offs, _span = pattern_offsets(kmer_size, spaced,
+                                          par.spaced_kmer_pattern)
+            gen = ProfileKmerGenerator(kmer_size, alpha, ss, si, offs)
+            q_num = p.query_num.astype(np.int64)
+            s = p.scores.astype(np.int64)
+            rp = np.zeros((p.length, alpha + 1), dtype=np.int64)
+            rp[:, :20] = np.sign(s) * (np.abs(s) // 4)
+            q_len = float(p.length)
+        else:
+            gen = None
+            q_num = qdb.seq_num(qid_i)
+            rp = None
+            q_len = float(qreader.get_seq_len(qid_i))
+        queries.append(q_num)
+        qmeta.append(dict(key=q_key, ident=identity_id, gen=gen, rp=rp,
+                          qlen=q_len))
+
+    # per-split candidate fragments
+    frags = [[] for _ in range(len(queries))]
+    codes_cache = [None] * len(queries)
+    profs_cache = [None] * len(queries)
+    for s_i in range(n_splits):
+        lo, hi = int(bounds[s_i]), int(bounds[s_i + 1])
+        table = build_index(tdb, seed, kmer_size,
+                            0 if query_is_profile else kmer_thr,
+                            par.mask == 1, par.mask_prob,
+                            par.mask_lower_case == 1, spaced,
+                            par.spaced_kmer_pattern, seq_range=(lo, hi))
+        dev = DevicePrefilter(
+            table, seed, ungapped, kmer_thr, kmer_size, par.max_seqs,
+            par.comp_bias_corr, par.comp_bias_corr_scale,
+            par.min_ungapped_score, generator,
+            take_only_best_kmer=take_only_best)
+        BATCH = 64
+        for b0 in range(0, len(queries), BATCH):
+            chunk = range(b0, min(b0 + BATCH, len(queries)))
+            prepared, qlens = [], []
+            for b in chunk:
+                if codes_cache[b] is None:
+                    m = qmeta[b]
+                    from ..ops.encode import calc_local_aa_bias
+                    if m["rp"] is not None:
+                        comp_bias = np.zeros(len(queries[b]), np.float32)
+                        profs_cache[b] = m["rp"].astype(np.int32)
+                    else:
+                        comp_bias = (calc_local_aa_bias(
+                            queries[b], seed.sub_matrix, seed.pback,
+                            par.comp_bias_corr_scale)
+                            if par.comp_bias_corr
+                            else np.zeros(len(queries[b]), np.float32))
+                        corr = np.trunc(np.where(
+                            comp_bias < 0.0, comp_bias / 4 - 0.5,
+                            comp_bias / 4 + 0.5)).astype(np.int32)
+                        profs_cache[b] = (ungapped.sub_matrix[
+                            queries[b], :].astype(np.int32)
+                            + corr[:, None])
+                    codes_cache[b] = dev.query_triples(
+                        queries[b], comp_bias, m["gen"])
+                codes, qpos = codes_cache[b]
+                st, ct = table.lists(codes)
+                prepared.append((st.astype(np.int32), ct.astype(np.int32),
+                                 qpos, profs_cache[b]))
+                qlens.append(len(queries[b]))
+            got = dev.candidates_batch(prepared, qlens)
+            for j, b in enumerate(chunk):
+                ids_l, diags, scores, exacts = got[j]
+                frags[b].append((ids_l + lo, diags, scores,
+                                 {(i + lo, d): v
+                                  for (i, d), v in exacts.items()}))
+        del dev, table
+
+    # exact cross-split merge
+    writer = DBWriter(out_path, dbt.DBTYPE_PREFILTER_RES)
+    for b, q_num in enumerate(queries):
+        m = qmeta[b]
+        ids = np.concatenate([f[0] for f in frags[b]]) if frags[b] else             np.zeros(0, np.int64)
+        diags = np.concatenate([f[1] for f in frags[b]]) if frags[b] else             np.zeros(0, np.uint16)
+        scores = np.concatenate([f[2] for f in frags[b]]) if frags[b] else             np.zeros(0, np.int64)
+        exacts = {}
+        for f in frags[b]:
+            exacts.update(f[3])
+
+        def exact_fn(eids, ediags, _ex=exacts):
+            return np.array([_ex[(int(i), int(d))]
+                             for i, d in zip(eids, ediags)], np.int64)
+
+        prof = profs_cache[b].astype(np.int64)
+        self_sc = self_ungapped_score(prof, q_num)             if m["rp"] is None else self_ungapped_score(prof, q_num)
+        hits = finalize_query(ids, diags, scores, par.max_seqs,
+                              par.min_ungapped_score, m["ident"],
+                              exact_fn, self_sc)
+        _write_hits(writer, par, treader, m["key"], m["qlen"], hits)
     writer.close()
     return 0

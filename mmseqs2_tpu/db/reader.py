@@ -166,6 +166,13 @@ class DBReader:
             return raw
         return raw[:-1] if raw.endswith(b"\0") else raw
 
+    def get_data_raw(self, idx: int) -> bytes:
+        """Entry payload exactly as stored (no '\\0'-stripping) — for
+        binary payloads (prebuilt index buffers) where a trailing zero byte
+        is data, not a terminator."""
+        return self._read_span(int(self.offsets[idx]),
+                               int(self.lengths[idx]))
+
     def get_seq(self, idx: int) -> bytes:
         """Sequence bytes without trailing newline/terminator."""
         d = self.get_data(idx)

@@ -1,24 +1,27 @@
-"""Pallas TPU kernels for the alignment DP cores.
+"""Pallas TPU kernels for the alignment DP cores (transposed layout).
 
-The XLA `lax.scan` formulation (ops/dp.py) materializes its carried state in
-HBM every target column — measured ~10 GCUPS/chip, HBM-bandwidth bound. These
-kernels keep the whole DP state in VMEM across the column loop and use the
-MXU for the substitution lookup (one-hot chars @ profile), so each column is
-a few VPU passes over a (BT, Lq) tile:
-
-  layout: batch tile BT on sublanes, query positions on lanes (f32 tiles);
-  per column j:
-    s    = onehot(targets[j]) @ profile        (BT,A)x(A,Lq) on the MXU
-    E    = max(Hng - go, E - ge)
-    Hng  = max(0, shift(H) + s, E)
-    F    = exact lazy-F closure: shifted cummax of (Hng + i*ge) along lanes
-    H    = max(Hng, F)
-  plus end-position tracking with the reference tie-breaks (first column to
-  reach the global max; smallest query index within it).
+Round-2 redesign after profiling on v5e: the DP state lives as (Lq, BT)
+tiles with query positions on SUBLANES and the target batch on LANES.
+Rationale (measured, experiments/sw_v4.py):
+  - cross-query-position shifts (the diagonal shift and the lazy-F cummax)
+    become sublane rolls, ~6x cheaper than lane rolls on this core;
+  - the substitution lookup is one bf16 MXU matmul per U-column tile:
+    profT (Lq, A) @ onehot (A, U*BT), read back one (Lq, BT) slice per
+    column — score-tile traffic is the only per-cell VMEM cost;
+  - per-call dispatch overhead through the runtime is ~25ms, so callers
+    should batch large and measure with async dispatch (see bench.py).
+Measured on TPU v5e (batch 4096, Lq=Lt=512): ~142 GCUPS gapped score-only,
+~346 GCUPS gapless score-only, ~6x the round-1 lane-layout kernel.
 
 Semantics identical to dp.sw_scan / dp.gapless_scan (cross-checked in
-tests/test_pallas.py); one query profile per call (the align stage batches
-per query), many targets.
+tests/test_pallas.py): one query profile per call, many targets; affine
+gaps via the ramped-space lazy-F closure (a sublane cummax); end-position
+tracking reproduces the reference tie-breaks (first column to reach the
+global max, smallest query index within it) via packed (score, position)
+max-reduction.
+
+Reference the kernels replace: striped SSW (StripedSmithWaterman.cpp:99-479)
+and libmarv's GPU gapless/gapped scans (lib/libmarv, ungappedprefilter.cpp).
 """
 
 import functools
@@ -29,168 +32,240 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG = -1e9   # plain float: jnp scalars would be captured as tracer consts
+NEG = -1e9
+DEFAULT_BT = 512
+DEFAULT_U = 8
 
 
-def _shift_lanes(x, fill):
-    """Shift right by one along the lane (last) axis, filling with `fill`."""
-    rolled = pltpu.roll(x, 1, axis=1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    return jnp.where(lane == 0, fill, rolled)
+def pack_targets(targets_t, BT: int, U: int):
+    """(Lt, B) -> (nb, ceil(Lt/U), U*BT): row t holds the chars of columns
+    t*U..t*U+U-1 for one BT-batch block, laid out as [u*BT + b] so the
+    kernel builds a tall one-hot from a single row slice. Runs on device
+    (jnp) so repeated calls don't re-transfer the batch."""
+    lt, b = targets_t.shape
+    nb = -(-b // BT)
+    pad_b = nb * BT - b
+    pad_t = (-lt) % U
+    tp = jnp.pad(targets_t, ((0, pad_t), (0, pad_b)), mode="edge") \
+        if (pad_t or pad_b) else targets_t
+    ltp = lt + pad_t
+    x = tp.reshape(ltp // U, U, nb, BT).transpose(2, 0, 1, 3)
+    return x.reshape(nb, ltp // U, U * BT)
 
 
-def _cummax_lanes(x, lq):
-    """Inclusive running max along the lane axis (log-step doubling)."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    d = 1
-    while d < lq:
-        rolled = pltpu.roll(x, d, axis=1)
-        x = jnp.where(lane >= d, jnp.maximum(x, rolled), x)
-        d *= 2
-    return x
-
-
-def _sw_kernel(profile_ref, targets_ref, score_ref, qend_ref, tend_ref,
-               h_ref, hng_ref, e_ref, best_ref, bq_ref, bt_ref,
-               *, lq, lt, go, ge, gapless, cap, pack):
-    bt_tile = h_ref.shape[0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (bt_tile, lq), 1)
-    lanef = lane.astype(jnp.float32)
-    # gapped state lives in "ramped space" (X' = X + lane*ge): the lazy-F
-    # cummax then runs directly on Hng' with constant-only corrections,
-    # saving the per-step ramp add/subtract
-    ramp = lanef * jnp.float32(ge)
-    zero_floor = jnp.zeros_like(ramp) if gapless else ramp
-    h_ref[:] = zero_floor
-    if not gapless:
-        hng_ref[:] = ramp
-        e_ref[:] = ramp + jnp.float32(NEG)
-    best_ref[:] = jnp.zeros_like(best_ref)
-    bq_ref[:] = jnp.full_like(bq_ref, lq - 1)
-    bt_ref[:] = jnp.full_like(bt_ref, -1)
-
-    prof = profile_ref[:]                        # (A, Lq) f32
-    alpha = prof.shape[0]
+def _pk_for(lq):
     pk = 1024
     while pk < lq:
         pk *= 2
-    PK = jnp.float32(pk)
-    lanepart = PK - jnp.float32(1.0) - lanef     # (pk-1) - lane
+    return pk
 
-    def step(j, _):
-        chars = targets_ref[j, :]                # (BT,) int32
-        onehot = (chars[:, None] ==
-                  jax.lax.broadcasted_iota(jnp.int32, (bt_tile, alpha), 1)
-                  ).astype(jnp.float32)
-        s = jnp.dot(onehot, prof, preferred_element_type=jnp.float32)
-        h = h_ref[:]
+
+def _shift_sub(x, fill):
+    rolled = pltpu.roll(x, 1, axis=0)
+    sub = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(sub == 0, fill, rolled)
+
+
+def _kernel(profile_ref, tpk_ref, *refs, lq, lt, n_tiles, go, ge, unroll,
+            bt, gapless, cap, track, pack):
+    if track:
+        score_ref, qend_ref, tend_ref = refs[:3]
+        scratch = refs[3:]
+    else:
+        score_ref = refs[0]
+        scratch = refs[1:]
+    h_ref, e_ref, hm_ref, stile_ref, best_ref, bq_ref, bt_ref = scratch
+
+    sub = jax.lax.broadcasted_iota(jnp.int32, (lq, bt), 0)
+    subf = sub.astype(jnp.float32)
+    first = sub == 0
+    prof = profile_ref[:].astype(jnp.bfloat16)        # (Lq, A)
+    alpha = prof.shape[1]
+    ub = unroll * bt
+    go_f = jnp.float32(go)
+    ge_f = jnp.float32(ge)
+    goge = jnp.float32(go - ge)
+    capf = jnp.float32(cap)
+    PK = jnp.float32(_pk_for(lq))
+    subpart = PK - jnp.float32(1.0) - subf
+    if gapless:
+        ramp = jnp.zeros_like(subf)
+        h_ref[:] = jnp.zeros_like(h_ref)
+    else:
+        ramp = subf * ge_f
+        nlev = max(1, (lq - 1).bit_length())
+        masks = [sub >= (1 << l) for l in range(nlev)]
+        h_ref[:] = ramp
+        e_ref[:] = ramp + jnp.float32(NEG)
+    hm_ref[:] = jnp.zeros_like(hm_ref)
+    if track:
+        best_ref[:] = jnp.zeros_like(best_ref)
+        bq_ref[:] = jnp.full_like(bq_ref, lq - 1)
+        bt_ref[:] = jnp.full_like(bt_ref, -1)
+
+    def column(j, s):
+        """One DP column; s is the (Lq, BT) substitution slice."""
         if gapless:
-            diag = _shift_lanes(h, jnp.float32(0)) + s
-            hnew = jnp.clip(diag, 0.0, jnp.float32(cap))
-            htrue = hnew
+            h = _shift_sub(h_ref[:], jnp.float32(0)) + s
+            h = jnp.minimum(jnp.maximum(h, 0.0), capf)
+            h_ref[:] = h
+            htrue = h
         else:
-            # ramped: diag'[i] = h'[i-1] + s + ge; boundary h'(-1) = -ge
-            diag = _shift_lanes(h, jnp.float32(-ge)) + (s + jnp.float32(ge))
-            e = jnp.maximum(hng_ref[:] - go, e_ref[:] - ge)
+            h = h_ref[:]
+            diag = _shift_sub(h, jnp.float32(-ge)) + s   # s has +ge folded
+            e = jnp.maximum(h - go_f, e_ref[:] - ge_f)
             hng = jnp.maximum(ramp, jnp.maximum(diag, e))
-            run = _cummax_lanes(hng, lq)
-            f = _shift_lanes(run, jnp.float32(NEG)) - jnp.float32(go - ge)
+            run = hng
+            for l in range(nlev):
+                rolled = pltpu.roll(run, 1 << l, axis=0)
+                run = jnp.where(masks[l], jnp.maximum(run, rolled), run)
+            f = _shift_sub(run, jnp.float32(NEG)) - goge
             hnew = jnp.maximum(hng, f)
+            h_ref[:] = hnew
             e_ref[:] = e
-            hng_ref[:] = hng
             htrue = hnew - ramp
-        h_ref[:] = hnew
-        if pack:
-            # single packed reduce; decode keeps the strict-H update so a
-            # tie on H keeps the earlier column j (reference tie-break)
-            cand = htrue * PK + lanepart
-            candmax = jnp.max(cand, axis=1, keepdims=True)
-            colmax = jnp.floor(candmax / PK)
-            amax = (PK - jnp.float32(1.0)
-                    - (candmax - colmax * PK)).astype(jnp.int32)
+        if track:
+            if pack:
+                cand = htrue * PK + subpart
+                candmax = jnp.max(cand, axis=0, keepdims=True)
+                colmax = jnp.floor(candmax / PK)
+                amax = (PK - jnp.float32(1.0)
+                        - (candmax - colmax * PK)).astype(jnp.int32)
+            else:
+                colmax = jnp.max(htrue, axis=0, keepdims=True)
+                amax = jnp.min(jnp.where(htrue == colmax, sub, lq),
+                               axis=0, keepdims=True)
+            better = colmax > best_ref[:]
+            bt_ref[:] = jnp.where(better, j, bt_ref[:])
+            bq_ref[:] = jnp.where(better, amax, bq_ref[:])
+            best_ref[:] = jnp.maximum(best_ref[:], colmax)
         else:
-            colmax = jnp.max(htrue, axis=1, keepdims=True)
-            amax = jnp.min(jnp.where(htrue == colmax, lane, lq),
-                           axis=1, keepdims=True)          # first max index
-        better = colmax > best_ref[:]
-        bt_ref[:] = jnp.where(better, j, bt_ref[:])
-        bq_ref[:] = jnp.where(better, amax, bq_ref[:])
-        best_ref[:] = jnp.maximum(best_ref[:], colmax)
+            hm_ref[:] = jnp.maximum(hm_ref[:], htrue)
+
+    def stile_for(t):
+        chars = tpk_ref[0, t, :]
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (alpha, ub), 0)
+                  == chars[None, :]).astype(jnp.bfloat16)
+        stile_ref[:] = jnp.dot(prof, onehot,
+                               preferred_element_type=jnp.float32)
+
+    n_full = lt // unroll                   # tiles with all columns real
+    tail = lt - n_full * unroll
+
+    def tile_step(t, _):
+        stile_for(t)
+        for u in range(unroll):
+            column(t * unroll + u, stile_ref[:, pl.ds(u * bt, bt)])
         return 0
 
-    jax.lax.fori_loop(0, lt, step, 0)
-    score_ref[:] = best_ref[:].astype(jnp.int32)
-    qend_ref[:] = bq_ref[:]
-    tend_ref[:] = bt_ref[:]
+    jax.lax.fori_loop(0, n_full, tile_step, 0)
+    if tail:
+        stile_for(n_full)
+        for u in range(tail):               # padded tail columns skipped
+            column(n_full * unroll + u, stile_ref[:, pl.ds(u * bt, bt)])
+
+    if track:
+        score_ref[:] = jnp.broadcast_to(best_ref[:],
+                                        score_ref.shape).astype(jnp.int32)
+        qend_ref[:] = jnp.broadcast_to(bq_ref[:], qend_ref.shape)
+        tend_ref[:] = jnp.broadcast_to(bt_ref[:], tend_ref.shape)
+    else:
+        score_ref[:] = jnp.broadcast_to(
+            jnp.max(hm_ref[:], axis=0, keepdims=True),
+            score_ref.shape).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "go", "ge", "gapless", "cap", "track", "pack", "unroll", "bt",
+    "interpret"))
+def _sw_call(prof_t, targets_t, *, go, ge, gapless, cap, track, pack,
+             unroll, bt, interpret):
+    lq, alpha = prof_t.shape
+    lt = targets_t.shape[0]
+    tpk = pack_targets(targets_t, bt, unroll)
+    nb, n_tiles, ub = tpk.shape
+    kernel = functools.partial(
+        _kernel, lq=lq, lt=lt, n_tiles=n_tiles, go=go, ge=ge,
+        unroll=unroll, bt=bt, gapless=gapless, cap=cap, track=track,
+        pack=pack)
+    out_shape = [jax.ShapeDtypeStruct((nb * 8, bt), jnp.int32)] * (
+        3 if track else 1)
+    out_specs = [pl.BlockSpec((8, bt), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)] * (3 if track else 1)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((lq, alpha), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_tiles, ub), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((lq, bt), jnp.float32),
+            pltpu.VMEM((lq, bt), jnp.float32),
+            pltpu.VMEM((lq, bt), jnp.float32),
+            pltpu.VMEM((lq, unroll * bt), jnp.float32),
+            pltpu.VMEM((1, bt), jnp.float32),
+            pltpu.VMEM((1, bt), jnp.int32),
+            pltpu.VMEM((1, bt), jnp.int32),
+        ],
+        interpret=interpret,
+    )(prof_t, tpk)
+    if not isinstance(outs, (list, tuple)):
+        outs = [outs]
+    return [o.reshape(nb, 8, bt)[:, 0, :].reshape(-1) for o in outs]
+
+
+def _prep(profile, targets_t, ge, gapless, bt, unroll):
+    targets_t = jnp.asarray(targets_t)
+    lt, b = targets_t.shape
+    eff_bt = bt if b >= bt else max(8, 1 << int(np.ceil(np.log2(max(b, 8)))))
+    profile = jnp.asarray(profile).astype(jnp.float32)
+    prof_t = profile.T if gapless else (profile + jnp.float32(ge)).T
+    return prof_t, targets_t, lt, b, eff_bt
 
 
 def sw_pallas(profile, targets_t, go=11, ge=1, gapless=False, cap=255,
               interpret=False):
     """Batched SW (or gapless) scores + end positions for ONE query profile.
 
-    profile:   (A, Lq) int32/float — substitution column scores (PAD rows
-               very negative).
-    targets_t: (Lt, B) int32 — transposed target batch (PAD letter rows map
-               to very negative profile rows).
-    Returns (score (B,), qend (B,), tend (B,)) int32, matching dp.sw_scan /
+    profile:   (A, Lq) int — substitution column scores (PAD rows very
+               negative). targets_t: (Lt, B) int — transposed target batch.
+    Returns (score, qend, tend) int32 (B,), matching dp.sw_scan /
     dp.gapless_scan semantics.
     """
-    # packed (score,qend) tracking is exact while score*PK + (PK-1) < 2^24
-    # (f32 integer range), PK = the lane count rounded up to a power of two;
-    # computed on the host so it can be a static kernel parameter
-    lq = profile.shape[1]
-    pk = 1024
-    while pk < lq:
-        pk *= 2
+    lq = np.asarray(profile).shape[1]
     if gapless:
-        max_score_bound = cap
+        bound = cap
     else:
-        max_score_bound = int(np.asarray(profile).max()) * lq
-    pack = 0 <= max_score_bound < (1 << 24) // pk - 1
-    return _sw_pallas_jit(profile, targets_t, go=go, ge=ge, gapless=gapless,
-                          cap=cap, pack=pack, interpret=interpret)
+        bound = int(np.asarray(profile).max()) * lq
+    pack = 0 <= bound < (1 << 24) // _pk_for(lq) - 1
+    prof_t, tpk, lt, b, eff_bt = _prep(profile, targets_t, ge, gapless,
+                                       DEFAULT_BT, DEFAULT_U)
+    s, qe, te = _sw_call(prof_t, tpk, go=go, ge=ge, gapless=gapless,
+                         cap=cap, track=True, pack=pack, unroll=DEFAULT_U,
+                         bt=eff_bt, interpret=interpret)
+    return s[:b], qe[:b], te[:b]
 
 
-@functools.partial(jax.jit, static_argnames=("go", "ge", "gapless", "cap",
-                                             "pack", "interpret"))
-def _sw_pallas_jit(profile, targets_t, go, ge, gapless, cap, pack,
-                   interpret):
-    alpha, lq = profile.shape
-    lt, b = targets_t.shape
-    BT = 512 if b >= 512 else max(8, b)
-    # VMEM: 3 state arrays + targets block must fit the 16M scoped limit
-    while BT * lq * 4 * 3 + lt * BT * 4 > 12 * 1024 * 1024 and BT > 8:
-        BT //= 2
-    nb = -(-b // BT)
-    pad_b = nb * BT - b
-    if pad_b:
-        targets_t = jnp.pad(targets_t, ((0, 0), (0, pad_b)),
-                            constant_values=alpha - 1)
-    prof_f = profile.astype(jnp.float32)
+def sw_pallas_score(profile, targets_t, go=11, ge=1, interpret=False):
+    """Scores only (no end tracking) — the fast bulk-scan path."""
+    prof_t, tpk, lt, b, eff_bt = _prep(profile, targets_t, ge, False,
+                                       DEFAULT_BT, DEFAULT_U)
+    (s,) = _sw_call(prof_t, tpk, go=go, ge=ge, gapless=False,
+                    cap=0, track=False, pack=False, unroll=DEFAULT_U,
+                    bt=eff_bt, interpret=interpret)
+    return s[:b]
 
-    kernel = functools.partial(_sw_kernel, lq=lq, lt=lt, go=go, ge=ge,
-                               gapless=gapless, cap=cap, pack=pack)
-    out_shape = [jax.ShapeDtypeStruct((nb * BT, 1), jnp.int32)] * 3
-    score, qend, tend = pl.pallas_call(
-        kernel,
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((alpha, lq), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((lt, BT), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[pl.BlockSpec((BT, 1), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)] * 3,
-        out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((BT, lq), jnp.float32),
-            pltpu.VMEM((BT, lq), jnp.float32),
-            pltpu.VMEM((BT, lq), jnp.float32),
-            pltpu.VMEM((BT, 1), jnp.float32),
-            pltpu.VMEM((BT, 1), jnp.int32),
-            pltpu.VMEM((BT, 1), jnp.int32),
-        ],
-        interpret=interpret,
-    )(prof_f, targets_t)
-    return (score[:b, 0], qend[:b, 0], tend[:b, 0])
+
+def gapless_pallas_score(profile, targets_t, cap=255, interpret=False):
+    """Gapless best-diagonal scores — the ungappedprefilter scan."""
+    prof_t, tpk, lt, b, eff_bt = _prep(profile, targets_t, 0, True,
+                                       DEFAULT_BT, DEFAULT_U)
+    (s,) = _sw_call(prof_t, tpk, go=0, ge=0, gapless=True,
+                    cap=cap, track=False, pack=False, unroll=DEFAULT_U,
+                    bt=eff_bt, interpret=interpret)
+    return s[:b]

@@ -152,6 +152,10 @@ _A("--alignment-output-mode", "alignment_output_mode", int, 0, "output mode")
 _A("-e", "evalue", float, 1.0e-3, "E-value threshold")
 _A("--min-seq-id", "min_seq_id", float, 0.0, "minimum sequence identity")
 _A("--min-aln-len", "min_aln_len", int, 0, "minimum alignment length")
+_A("--expansion-mode", "expansion_mode", int, 0,
+   "0: transfer E-value from input alignment 1: rescore inferred backtrace")
+_A("--expand-filter-clusters", "expand_filter_clusters", int, 0,
+   "filter each cluster alignment set before expansion")
 _A("--seq-id-mode", "seq_id_mode", int, 0,
    "0: alignment len 1: shorter seq 2: longer seq")
 _A("--alt-ali", "alt_align", int, 0, "alternative alignments")
@@ -258,6 +262,21 @@ _A("--filter-column", "filter_column", int, 1, "column to filter on")
 _A("--comparison-operator", "comparison_operator", str, "",
    "ge, le, e, ip, op, ep")
 _A("--comparison-value", "comparison_value", float, 0.0, "comparison value")
+_A("--filter-regex", "filter_regex", str, "^.*$", "regex to select column")
+_A("--positive-filter", "positive_filter", bool, True,
+   "with --filter-file: keep matching lines (else drop them)")
+_A("--mapping-file", "mapping_file", str, "",
+   "rewrite the filter column by a key->value mapping file")
+_A("--extract-lines", "extract_lines", int, 0, "extract first N lines")
+_A("--sort-entries", "sort_entries", int, 0,
+   "sort entries: 1 increasing, 2 decreasing, 3 shuffle, 4 priority")
+_A("--weights", "weights", str, "", "weights file for priority sorting")
+_A("--join-db", "join_db", str, "",
+   "join another database entry by the key in the filter column")
+_A("--filter-expression", "filter_expression", str, "",
+   "mathematical expression over $N columns to filter lines")
+_A("--trim-to-one-column", "trim_to_one_column", bool, False,
+   "output only the filter column")
 
 _A("--use-fasta-header", "use_header", bool, False, "use fasta header")
 _A("--prefix", "mapping_prefix", str, "", "prefix for all entries")

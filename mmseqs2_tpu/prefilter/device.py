@@ -83,6 +83,46 @@ def _device_match(starts, counts, qpos, qid,          # (K,) triples
             truncated, total)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("h_cap", "c_cap", "n_q", "lq_max", "ln_max", "chunk"))
+def _device_candidates(starts, counts, qpos, qid,
+                       entries_seq, entries_pos,
+                       t_cat, t_offsets, t_lens,
+                       prof, q_lens,
+                       *, h_cap, c_cap, n_q, lq_max, ln_max, chunk):
+    """Stages 1-6 only: per-(query,id) best-scoring candidates, compacted.
+    Split/out-of-core mode merges these host-side (prefilter/split_merge)."""
+    cqid, cid, cdiag, cvalid, n_cand, total = stage_candidates(
+        starts, counts, qpos, qid, entries_seq, entries_pos,
+        h_cap=h_cap, c_cap=c_cap)
+    rescore = make_rescore(t_cat, t_offsets, t_lens, prof, q_lens,
+                           lq_max=lq_max, ln_max=ln_max, chunk=chunk)
+    cscore = rescore(cqid, cid, cdiag, cvalid, cap=True)
+    is_best = stage_keepmax(cqid, cid, cscore, cvalid, c_cap=c_cap)
+    pos = jnp.cumsum(is_best.astype(jnp.int32)) - 1
+    n_best = jnp.sum(is_best.astype(jnp.int32))
+    wk = jnp.where(is_best, pos, c_cap)
+    bq = jnp.full(c_cap + 1, I32_MAX, jnp.int32).at[wk].set(
+        cqid, mode="drop")[:c_cap]
+    bi = jnp.full(c_cap + 1, I32_MAX, jnp.int32).at[wk].set(
+        cid, mode="drop")[:c_cap]
+    bd = jnp.zeros(c_cap + 1, jnp.int32).at[wk].set(
+        cdiag, mode="drop")[:c_cap]
+    bs = jnp.zeros(c_cap + 1, jnp.int32).at[wk].set(
+        cscore, mode="drop")[:c_cap]
+    return bq, bi, bd, bs, n_best, n_cand
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("lq_max", "ln_max", "chunk"))
+def _device_exact(t_cat, t_offsets, t_lens, prof, q_lens,
+                  qid, ids, diag, valid, *, lq_max, ln_max, chunk):
+    rescore = make_rescore(t_cat, t_offsets, t_lens, prof, q_lens,
+                           lq_max=lq_max, ln_max=ln_max, chunk=chunk)
+    return rescore(qid, ids, diag, valid, cap=False)
+
+
 # --------------------------------------------------------------------------
 # host driver
 # --------------------------------------------------------------------------
@@ -176,6 +216,91 @@ class DevicePrefilter:
         codes, qpos = self.query_triples(q_num, comp_bias, generator)
         s, c = self.index.lists(codes)
         return s.astype(np.int32), c.astype(np.int32), qpos, prof
+
+    def candidates_batch(self, prepared, qlens):
+        """Split-mode building block: per-query candidate fragments.
+
+        prepared: list of (starts, counts, qpos) per query against THIS
+        index split; qlens list. Returns per-query (local ids, diags u16,
+        capped scores, {pos->exact score for saturated}) — stages 1-6 on
+        device (prefilter/split_merge.py finalizes across splits)."""
+        B = len(prepared)
+        starts = np.concatenate([p[0] for p in prepared])
+        counts = np.concatenate([p[1] for p in prepared])
+        qpos = np.concatenate([p[2] for p in prepared])
+        qid = np.concatenate([np.full(len(p[2]), b, np.int32)
+                              for b, p in enumerate(prepared)])
+        profs = [p[3] for p in prepared]
+        total = int(counts.sum())
+        if total == 0 or self.n_targets == 0:
+            return [(np.zeros(0, np.int64), np.zeros(0, np.uint16),
+                     np.zeros(0, np.int64), {}) for _ in range(B)]
+
+        lq_max = _bucket(max(qlens), 64)
+        alpha = self.ungapped.alphabet_size
+        prof_pad = np.full((B, lq_max, alpha), -128, np.int32)
+        for b in range(B):
+            prof_pad[b, :qlens[b], :profs[b].shape[1]] = profs[b]
+        ln_max = _bucket(min(lq_max, self.max_t_len), 64)
+        K = len(starts)
+        k_cap = _bucket(max(K, 1))
+        h_cap = _bucket(max(total, 1), 4096)
+        pad = k_cap - K
+        starts = np.pad(starts, (0, pad))
+        counts = np.pad(counts, (0, pad))
+        qpos = np.pad(qpos, (0, pad))
+        qid = np.pad(qid, (0, pad), constant_values=B - 1)
+        d_prof = jnp.asarray(prof_pad)
+        d_qlens = jnp.asarray(np.array(qlens, np.int32))
+
+        c_cap = max(4096, h_cap // 8)
+        while True:
+            bq, bi, bd, bs, n_best, n_cand = _device_candidates(
+                jnp.asarray(starts), jnp.asarray(counts),
+                jnp.asarray(qpos), jnp.asarray(qid),
+                self.d_entries_seq, self.d_entries_pos,
+                self.d_t_cat, self.d_t_offsets, self.d_t_lens,
+                d_prof, d_qlens,
+                h_cap=h_cap, c_cap=c_cap, n_q=B, lq_max=lq_max,
+                ln_max=ln_max, chunk=min(4096, c_cap))
+            if int(n_cand) <= c_cap or c_cap >= h_cap:
+                break
+            c_cap = _bucket(int(n_cand), c_cap * 2)
+        n = int(n_best)
+        bq = np.asarray(bq)[:n]
+        bi = np.asarray(bi)[:n]
+        bd = np.asarray(bd)[:n]
+        bs = np.asarray(bs)[:n]
+
+        # exact scores for saturated candidates, while this split's
+        # sequence store is resident
+        sat = bs >= UCHAR_MAX
+        exacts = {}
+        if sat.any():
+            sq, si, sd = bq[sat], bi[sat], bd[sat]
+            m = _bucket(len(sq), 256)
+            va = np.zeros(m, bool)
+            va[:len(sq)] = True
+            ex = np.asarray(_device_exact(
+                self.d_t_cat, self.d_t_offsets, self.d_t_lens,
+                d_prof, d_qlens,
+                jnp.asarray(np.pad(sq, (0, m - len(sq)))),
+                jnp.asarray(np.pad(si, (0, m - len(si)))),
+                jnp.asarray(np.pad(sd, (0, m - len(sd)))),
+                jnp.asarray(va), lq_max=lq_max, ln_max=ln_max,
+                chunk=min(4096, m)))[:len(sq)]
+            for j in range(len(sq)):
+                exacts.setdefault(int(sq[j]), {})[
+                    (int(si[j]), int(sd[j]))] = int(ex[j])
+
+        out = []
+        for b in range(B):
+            sel = bq == b
+            out.append((bi[sel].astype(np.int64),
+                        bd[sel].astype(np.uint16),
+                        bs[sel].astype(np.int64),
+                        exacts.get(b, {})))
+        return out
 
     def match_batch(self, queries, identity_ids, rescore_profiles=None,
                     generators=None):

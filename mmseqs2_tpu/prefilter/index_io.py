@@ -1,0 +1,113 @@
+"""Prebuilt k-mer index DBs (.idx) — serialize/load the CSR inverted index.
+
+Reference: src/prefiltering/PrefilteringIndexReader.{h,cpp} stores the index
+table, sequence store, and metadata under special keys in a DB
+(PrefilteringIndexReader.h:27-52) with a version-string compatibility check
+(mmseqs.cpp:12-13). Ours is the same idea over our DB format: numpy buffers
+under special keys, ready to upload to device HBM without a rebuild.
+
+Layout (entry key -> payload):
+  0 VERSION   text version tag
+  1 META      json: alphabet size, k, spaced flag/pattern, index k-mer
+              threshold, mask params, #seqs, source dbtype
+  2 OFFSETS   int64 CSR offsets (dense) or sparse CSR offsets
+  3 ENTRIES_SEQ  int32 local sequence ids
+  4 ENTRIES_POS  uint16 positions
+  5 SEQ_CAT   uint8 concatenated masked sequences
+  6 SEQ_LENS  int32 per-sequence lengths
+  7 UNIQ_KMERS   int64 sorted unique k-mers (sparse tables only)
+"""
+
+import json
+import os
+
+import numpy as np
+
+from ..db import dbtype as dbt
+from ..db.reader import DBReader
+from ..db.writer import DBWriter
+from .kmer_index import KmerIndexTable
+
+INDEX_VERSION = "mmseqs2-tpu-idx-1"
+
+K_VERSION = 0
+K_META = 1
+K_OFFSETS = 2
+K_ENTRIES_SEQ = 3
+K_ENTRIES_POS = 4
+K_SEQ_CAT = 5
+K_SEQ_LENS = 6
+K_UNIQ = 7
+
+
+def save_index(path: str, table: KmerIndexTable, meta: dict) -> None:
+    w = DBWriter(path, dbt.DBTYPE_INDEX_DB)
+    w.write(K_VERSION, INDEX_VERSION.encode(), add_null=True)
+    meta = dict(meta)
+    meta.update(alpha=table.alpha, k=table.k, span=int(table.span),
+                pattern=[int(x) for x in table.offsets_pat],
+                sparse=bool(getattr(table, "sparse", False)),
+                n_seqs=len(table.masked_seqs))
+    w.write(K_META, json.dumps(meta).encode(), add_null=True)
+    w.write(K_OFFSETS, np.asarray(table.offsets, np.int64).tobytes(),
+            add_null=False)
+    w.write(K_ENTRIES_SEQ,
+            np.asarray(table.entries_seq, np.int32).tobytes(),
+            add_null=False)
+    w.write(K_ENTRIES_POS,
+            np.asarray(table.entries_pos, np.uint16).tobytes(),
+            add_null=False)
+    lens = np.array([len(s) for s in table.masked_seqs], np.int32)
+    cat = (np.concatenate(table.masked_seqs).astype(np.uint8)
+           if len(lens) and lens.sum() else np.zeros(0, np.uint8))
+    w.write(K_SEQ_CAT, cat.tobytes(), add_null=False)
+    w.write(K_SEQ_LENS, lens.tobytes(), add_null=False)
+    if getattr(table, "sparse", False):
+        w.write(K_UNIQ, np.asarray(table.uniq_kmers, np.int64).tobytes(),
+                add_null=False)
+    w.close()
+
+
+def load_index(path: str):
+    """Returns (KmerIndexTable, meta dict)."""
+    with DBReader(path) as r:
+        ver = r.get_data(r.get_id(K_VERSION)).rstrip(b"\x00").decode()
+        if ver != INDEX_VERSION:
+            raise ValueError(f"incompatible index version {ver!r}")
+        meta = json.loads(r.get_data(r.get_id(K_META)).rstrip(b"\x00"))
+        offsets = np.frombuffer(r.get_data_raw(r.get_id(K_OFFSETS)),
+                                np.int64)
+        eseq = np.frombuffer(r.get_data_raw(r.get_id(K_ENTRIES_SEQ)),
+                             np.int32)
+        epos = np.frombuffer(r.get_data_raw(r.get_id(K_ENTRIES_POS)),
+                             np.uint16)
+        cat = np.frombuffer(r.get_data_raw(r.get_id(K_SEQ_CAT)), np.uint8)
+        lens = np.frombuffer(r.get_data_raw(r.get_id(K_SEQ_LENS)), np.int32)
+        uniq = None
+        if meta.get("sparse"):
+            uniq = np.frombuffer(r.get_data_raw(r.get_id(K_UNIQ)), np.int64)
+
+    table = KmerIndexTable(meta["alpha"], meta["k"],
+                           spaced=bool(meta.get("spaced", True)),
+                           user_pattern="".join(
+                               "1" if i in set(meta["pattern"]) else "0"
+                               for i in range(meta["span"])))
+    table.offsets = offsets.copy()
+    table.entries_seq = eseq.astype(np.int64)
+    table.entries_pos = epos.copy()
+    offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    table.masked_seqs = [cat[offs[i]:offs[i + 1]].copy()
+                         for i in range(len(lens))]
+    table.sparse = bool(meta.get("sparse", False))
+    if uniq is not None:
+        table.uniq_kmers = uniq.copy()
+    return table, meta
+
+
+def index_path_for(db_path: str):
+    """Prebuilt-index preference (reference IndexReader.h): use
+    `<db>.idx` when present."""
+    p = db_path + ".idx"
+    if os.path.exists(p + ".dbtype") and os.path.exists(p + ".index"):
+        return p
+    return None

@@ -82,9 +82,24 @@ COMMANDS: List[Command] = [
             "Find k-mer sharing candidate pairs in linear time",
             "kmermatcher <seqDB> <prefDB>", 2, 2),
     # db management
-    Command("filterdb", "cluster_tools", "filterdb", CAT_UTIL,
+    Command("filterdb", "filterdb_cmd", "filterdb", CAT_UTIL,
             "Filter result DB entries by column/file criteria",
             "filterdb <resultDB> <outDB>", 2, 2),
+    Command("expandaln", "expandaln", "expandaln", CAT_UTIL,
+            "Expand an alignment result through intermediate cluster "
+            "alignments (backtrace composition)",
+            "expandaln <queryDB> <targetSeqDB> <alnDB> <clustAlnDB> "
+            "<outAlnDB>", 5, 5),
+    Command("expand2profile", "expandaln", "expand2profile", CAT_UTIL,
+            "Expand an alignment result and build a query profile from it",
+            "expand2profile <queryDB> <targetSeqDB> <alnDB> <clustAlnDB> "
+            "<profileDB>", 5, 5),
+    Command("indexdb", "indexdb_cmd", "indexdb", CAT_DB,
+            "Precompute the k-mer index table for a sequence DB",
+            "indexdb <seqDB> <indexDbBase>", 2, 2),
+    Command("createindex", "indexdb_cmd", "createindex", CAT_WORKFLOW,
+            "Precompute the prefilter index (workflow wrapper)",
+            "createindex <seqDB> [<tmpDir>]", 1, 2),
     Command("createdb", "createdb", "createdb", CAT_DB,
             "Convert FASTA/Q to a sequence DB",
             "createdb <fasta[.gz|.bz2]> ... <seqDB>", 2, 0),

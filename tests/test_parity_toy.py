@@ -438,3 +438,47 @@ def test_align_nondefault_scoring_parity(tmp_path, mat, go, ge):
     got = entries_by_key(out)
     want = entries_by_key(str(GOLDEN / f"aln_{mat}_{go}_{ge}"))
     assert got == want
+
+
+@pytest.mark.parametrize("mode,gold", [(0, "exp_aln"), (1, "exp_aln_rescore")])
+def test_expandaln_parity(tmp_path, mode, gold):
+    """expandaln (backtrace composition A->B->C) vs reference golden, both
+    E-value-transfer and rescore-backtrace expansion modes."""
+    out = str(tmp_path / "exp")
+    run_cmd("expandaln", [str(GOLDEN / "qdb"), str(GOLDEN / "qdb"),
+                          str(GOLDEN / "aln"), str(GOLDEN / "aln"), out,
+                          "--expansion-mode", str(mode)])
+    got = entries_by_key(out)
+    want = entries_by_key(str(GOLDEN / gold))
+    assert got == want
+
+
+def test_expand2profile_parity(tmp_path):
+    out = str(tmp_path / "exprof")
+    run_cmd("expand2profile", [str(GOLDEN / "qdb"), str(GOLDEN / "qdb"),
+                               str(GOLDEN / "aln"), str(GOLDEN / "aln"),
+                               out])
+    got = entries_by_key(out)
+    want = entries_by_key(str(GOLDEN / "exp_prof"))
+    assert set(got) == set(want)
+    bad = [k for k in want if got[k] != want[k]]
+    assert not bad, (len(bad), bad[:5])
+
+
+@pytest.mark.parametrize("args,gold", [
+    (["--filter-column", "2", "--comparison-operator", "ge",
+      "--comparison-value", "100"], "fdb_num"),
+    (["--extract-lines", "5"], "fdb_lines"),
+    (["--filter-column", "2", "--beats-first",
+      "--comparison-operator", "le"], "fdb_beats"),
+    (["--filter-column", "2", "--sort-entries", "1"], "fdb_sort"),
+    (["--filter-column", "2", "--trim-to-one-column"], "fdb_trim"),
+    (["--filter-column", "3", "--filter-regex", "^-[0-9]*$"], "fdb_regex"),
+])
+def test_filterdb_modes_parity(tmp_path, args, gold):
+    src = "aln" if gold in ("fdb_beats", "fdb_trim") else "pref"
+    out = str(tmp_path / "f")
+    run_cmd("filterdb", [str(GOLDEN / src), out] + args)
+    got = entries_by_key(out)
+    want = entries_by_key(str(GOLDEN / gold))
+    assert got == want
