@@ -281,6 +281,19 @@ _A("--trim-to-one-column", "trim_to_one_column", bool, False,
 _A("--use-fasta-header", "use_header", bool, False, "use fasta header")
 _A("--prefix", "mapping_prefix", str, "", "prefix for all entries")
 _A("--tsv", "tsv_out", bool, False, "TSV output")
+_A("--output-dbtype", "output_dbtype", int, 12,
+   "dbtype of the resulting database (12: generic)")
+_A("--stat", "stat", str, "",
+   "statistic: linecount mean min max sum doolittle charges seqlen strlen "
+   "firstline")
+_A("--simple-best-hit", "simple_best_hit", bool, True,
+   "use the best hit's E-value without second-best correction")
+_A("--alpha", "alpha", float, 1.0,
+   "set significance threshold alpha for p-value aggregation")
+_A("--aggregation-mode", "aggregation_mode", int, 0,
+   "combine p-values: 0 multihit 1 min 2 product 3 truncated product")
+_A("--short-output", "short_output", bool, False,
+   "print only the set p-value (resultsbyset)")
 _A("--overlap", "overlap", float, 0.0, "maximum overlap of covered regions")
 _A("--split-aa", "split_aa", bool, False, "split by amino acid counts")
 

@@ -85,6 +85,29 @@ COMMANDS: List[Command] = [
     Command("filterdb", "filterdb_cmd", "filterdb", CAT_UTIL,
             "Filter result DB entries by column/file criteria",
             "filterdb <resultDB> <outDB>", 2, 2),
+    Command("multihitdb", "multihit_wf", "multihitdb", CAT_WORKFLOW,
+            "Build a set DB from nucleotide contig FASTA files",
+            "multihitdb <fasta...> <setDB> <tmpDir>", 3, 0),
+    Command("multihitsearch", "multihit_wf", "multihitsearch", CAT_WORKFLOW,
+            "Search with a set DB against a set DB",
+            "multihitsearch <querySetDB> <targetSetDB> <outDB> <tmpDir>",
+            4, 4),
+    Command("besthitperset", "multihit", "besthitperset", CAT_UTIL,
+            "Keep the best hit per target set (log-corrected p-value)",
+            "besthitperset <queryDB> <targetDB> <resultDB> <outDB>", 4, 4),
+    Command("combinepvalperset", "multihit", "combinepvalperset", CAT_UTIL,
+            "Aggregate p-values per query set",
+            "combinepvalperset <queryDB> <targetDB> <resultDB> <outDB>",
+            4, 4),
+    Command("mergeresultsbyset", "multihit", "mergeresultsbyset", CAT_UTIL,
+            "Concatenate per-member results into per-set entries",
+            "mergeresultsbyset <setDB> <resultDB> <outDB>", 3, 3),
+    Command("result2stats", "multihit", "result2stats", CAT_UTIL,
+            "Compute per-entry statistics of a result DB",
+            "result2stats <queryDB> <targetDB> <resultDB> <statsDB>", 4, 4),
+    Command("tsv2db", "multihit", "tsv2db", CAT_DB,
+            "Convert a TSV file to a DB",
+            "tsv2db <tsvFile> <outDB>", 2, 2),
     Command("expandaln", "expandaln", "expandaln", CAT_UTIL,
             "Expand an alignment result through intermediate cluster "
             "alignments (backtrace composition)",
