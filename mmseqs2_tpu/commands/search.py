@@ -61,6 +61,13 @@ def search(par, command):
                 PREF_MODE_EXHAUSTIVE: "ungappedprefilter"}[par.prefilter_mode]
 
     align_module = "lcaalign" if par.lca_search else "align"
+    # ALIGNMENT_MODE_UNGAPPED (4): replace align with rescorediagonal
+    # --rescore-mode 2 (Search.cpp:261,314; map.sh path)
+    ungapped_mode = par.alignment_mode == 4
+    if ungapped_mode:
+        align_module = "rescorediagonal"
+        if not par.was_set("rescore_mode"):
+            par.set("rescore_mode", 2)
 
     if sens_steps <= 1:
         pref = wf.path("pref_0")

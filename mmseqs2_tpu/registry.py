@@ -85,6 +85,18 @@ COMMANDS: List[Command] = [
     Command("filterdb", "filterdb_cmd", "filterdb", CAT_UTIL,
             "Filter result DB entries by column/file criteria",
             "filterdb <resultDB> <outDB>", 2, 2),
+    Command("map", "map_rbh", "map_workflow", CAT_WORKFLOW,
+            "Map nearly identical sequences",
+            "map <queryDB> <targetDB> <alnDB> <tmpDir>", 4, 4),
+    Command("rbh", "map_rbh", "rbh", CAT_WORKFLOW,
+            "Reciprocal best hit search",
+            "rbh <aDB> <bDB> <outDB> <tmpDir>", 4, 4),
+    Command("easy-rbh", "map_rbh", "easy_rbh", CAT_MAIN,
+            "Reciprocal best hit search (FASTA in, BLAST-tab out)",
+            "easy-rbh <aFasta> <bFasta> <outFile> <tmpDir>", 4, 4),
+    Command("result2rbh", "map_rbh", "result2rbh", CAT_UTIL,
+            "Extract reciprocal best hits from a merged best-hit DB",
+            "result2rbh <resultDB> <outDB>", 2, 2),
     Command("multihitdb", "multihit_wf", "multihitdb", CAT_WORKFLOW,
             "Build a set DB from nucleotide contig FASTA files",
             "multihitdb <fasta...> <setDB> <tmpDir>", 3, 0),
