@@ -315,7 +315,7 @@ def swapresults(par, command):
             else:
                 p = line.split(b"\t")
                 tkey = int(p[0])
-                diag = -np.int16(np.uint16(int(p[2])))
+                diag = -np.int16(np.uint16(int(p[2]) & 0xFFFF))
                 swapped.setdefault(tkey, []).append(
                     {"dbKey": qkey, "score": int(p[1]), "diag": int(diag)})
 

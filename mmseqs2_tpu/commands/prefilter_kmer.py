@@ -77,6 +77,73 @@ def build_index(tdb: EncodedDB, seed, kmer_size: int, kmer_thr: int,
     return table
 
 
+def build_profile_target_index(treader, seed, kmer_size: int,
+                               kmer_thr: int, spaced: bool, pattern: str):
+    """Index over DBTYPE_HMM_PROFILE targets: each profile's windows expand
+    into all k-mers scoring >= kmerThr against the per-position profile rows
+    (IndexBuilder.cpp isProfile branch + IndexTable::addSimilarSequence,
+    IndexTable.h:304-348 — unique k-mer per profile, first position wins).
+    The sequence store holds the profiles' query letters (Sequence.cpp:314)
+    for the ungapped diagonal rescore."""
+    from ..prefilter.kmer_generator import ProfileKmerGenerator
+    from ..prefilter.kmer_index import KmerIndexTable, pattern_offsets
+    from ..profile.io import kmer_rows, parse_profile
+
+    alpha = seed.alphabet_size - 1
+    x_idx = seed.alphabet_size - 1
+    offsets_pat, span = pattern_offsets(kmer_size, spaced, pattern)
+    table = KmerIndexTable(alpha, kmer_size, spaced, pattern)
+    all_kmer, all_seq, all_pos = [], [], []
+    seqs = []
+    for sid in range(treader.size):
+        p = parse_profile(treader.get_data(sid))
+        q_num = p.query_num.astype(np.int64)
+        seqs.append(q_num.astype(np.uint8))
+        ss, si = kmer_rows(p)
+        gen = ProfileKmerGenerator(kmer_size, alpha, ss, si, offsets_pat)
+        n = p.length - span + 1
+        pairs = []
+        for i in range(max(n, 0)):
+            window = q_num[i + offsets_pat]
+            if (window == x_idx).any():
+                continue
+            similar = gen.generate(window, kmer_thr, i)
+            for km in similar:
+                pairs.append((int(km), i))
+        if not pairs:
+            continue
+        pairs.sort()
+        prev = None
+        for km, pos in pairs:
+            if km != prev:
+                all_kmer.append(km)
+                all_seq.append(sid)
+                all_pos.append(pos)
+            prev = km
+    kmers = np.array(all_kmer, np.int64) if all_kmer else np.zeros(0, np.int64)
+    seqs_a = np.array(all_seq, np.int64) if all_seq else np.zeros(0, np.int64)
+    poss = np.array(all_pos, np.int64) if all_pos else np.zeros(0, np.int64)
+    order = np.argsort(kmers, kind="stable")
+    kmers, seqs_a, poss = kmers[order], seqs_a[order], poss[order]
+    table.sparse = table.table_size > (1 << 26)
+    if table.sparse:
+        table.uniq_kmers, counts = (np.unique(kmers, return_counts=True)
+                                    if len(kmers)
+                                    else (np.zeros(0, np.int64),
+                                          np.zeros(0, np.int64)))
+        table.offsets = np.concatenate([[0], np.cumsum(counts)]).astype(
+            np.int64)
+    else:
+        counts = np.bincount(kmers, minlength=table.table_size) \
+            if len(kmers) else np.zeros(table.table_size, dtype=np.int64)
+        table.offsets = np.concatenate([[0], np.cumsum(counts)]).astype(
+            np.int64)
+    table.entries_seq = seqs_a
+    table.entries_pos = poss.astype(np.uint16)
+    table.masked_seqs = seqs
+    return table
+
+
 def prefilter_kmer(par, command):
     qdb_path, tdb_path, out_path = par.filenames[:3]
     same_db = qdb_path == tdb_path
@@ -102,22 +169,38 @@ def prefilter_kmer(par, command):
     tdb = qdb if same_db and not query_is_profile else EncodedDB(treader, seed)
     target_is_nucl = treader.base_type == dbt.DBTYPE_NUCLEOTIDES
 
+    target_is_profile = treader.base_type == dbt.DBTYPE_HMM_PROFILE
     if query_is_nucl:
         kmer_size = par.kmer_size or 15
         kmer_thr = 0                       # Prefiltering.cpp:207-216
     else:
         kmer_size = par.kmer_size or compute_kmer_size(
             treader.total_residues())
-        kmer_thr = get_kmer_threshold(par.sensitivity, kmer_size,
-                                      par.k_score.aa,
-                                      is_profile=query_is_profile)
+        kmer_thr = get_kmer_threshold(
+            par.sensitivity, kmer_size, par.k_score.aa,
+            is_profile=query_is_profile or target_is_profile)
     log.info(f"k-mer similarity threshold: {kmer_thr} (k = {kmer_size})")
 
     # exact k-mer matching (takeOnlyBestKmer, Prefiltering.cpp:188-192)
     take_only_best = (par.exact_kmer_matching == 1
+                      or (target_is_profile and not query_is_profile)
                       or (query_is_nucl and target_is_nucl))
 
     spaced = par.spaced_kmer_mode == 1
+    alpha = seed.alphabet_size - 1
+    if target_is_profile:
+        table = build_profile_target_index(
+            treader, seed, kmer_size, kmer_thr, spaced,
+            par.spaced_kmer_pattern)
+        log.info(f"Index table: {len(table.entries_seq)} k-mer positions")
+        matcher = QueryMatcher(
+            table, seed, ungapped, kmer_thr, kmer_size, par.max_seqs,
+            par.comp_bias_corr, par.comp_bias_corr_scale,
+            par.min_ungapped_score, None,
+            take_only_best_kmer=take_only_best,
+            is_nucleotide=False)
+        return _run_host(par, qreader, treader, qdb, matcher,
+                         query_is_profile, same_db, out_path, alpha)
     index_thr = 0 if (query_is_profile or query_is_nucl) else kmer_thr
     table = None
     from ..prefilter.index_io import index_path_for, load_index
@@ -185,46 +268,9 @@ def prefilter_kmer(par, command):
         return _run_device(par, qreader, treader, qdb, dev, matcher,
                            query_is_profile, same_db, out_path, alpha)
 
-    writer = DBWriter(out_path, dbt.DBTYPE_PREFILTER_RES)
-    for qid in range(qreader.size):
-        q_key = qreader.get_db_key(qid)
-        identity_id = -1
-        if same_db or par.include_identity:
-            tid = treader.get_id(q_key)
-            if tid >= 0:
-                identity_id = tid
-        if query_is_profile:
-            from ..prefilter.kmer_generator import ProfileKmerGenerator
-            from ..profile.io import kmer_rows, parse_profile
-            p = parse_profile(qreader.get_data(qid))
-            ss, si = kmer_rows(p)
-            matcher.generator = ProfileKmerGenerator(
-                kmer_size, alpha, ss, si, table.offsets_pat)
-            # (L, 21) diagonal-rescore profile: pssm/4 trunc, X column 0
-            s = p.scores.astype(np.int64)
-            rescore = np.zeros((p.length, alpha + 1), dtype=np.int64)
-            rescore[:, :20] = np.sign(s) * (np.abs(s) // 4)
-            hits = matcher.match(p.query_num.astype(np.int64), identity_id,
-                                 diagonal_scoring=bool(par.diag_score),
-                                 rescore_profile=rescore)
-            q_len = float(p.length)
-        else:
-            hits = matcher.match(qdb.seq_num(qid), identity_id,
-                                 diagonal_scoring=bool(par.diag_score))
-            q_len = float(qreader.get_seq_len(qid))
-        check_cov = par.cov_thr > 0.0 and par.cov_mode in (0, 2, 5)
-        lines = []
-        for tid, score, diag in hits:
-            # output coverage gate (Prefiltering.cpp:885-893)
-            if check_cov and not autil.can_be_covered(
-                    par.cov_thr, par.cov_mode, q_len,
-                    float(treader.get_seq_len(tid))):
-                continue
-            t_key = treader.get_db_key(tid)
-            lines.append(f"{t_key}\t{score}\t{diag}\n")
-        writer.write(q_key, "".join(lines).encode())
-    writer.close()
-    return 0
+    return _run_host(par, qreader, treader, qdb, matcher,
+                     query_is_profile, same_db, out_path, alpha)
+
 
 
 def _write_hits(writer, par, treader, q_key, q_len, hits):
@@ -423,5 +469,52 @@ def _run_device_splits(par, qreader, treader, qdb, tdb, seed, ungapped,
                               par.min_ungapped_score, m["ident"],
                               exact_fn, self_sc)
         _write_hits(writer, par, treader, m["key"], m["qlen"], hits)
+    writer.close()
+    return 0
+
+
+def _run_host(par, qreader, treader, qdb, matcher, query_is_profile,
+              same_db, out_path, alpha):
+    """Per-query host (numpy oracle) matching loop."""
+    table = matcher.index
+    kmer_size = matcher.k
+    writer = DBWriter(out_path, dbt.DBTYPE_PREFILTER_RES)
+    for qid in range(qreader.size):
+        q_key = qreader.get_db_key(qid)
+        identity_id = -1
+        if same_db or par.include_identity:
+            tid = treader.get_id(q_key)
+            if tid >= 0:
+                identity_id = tid
+        if query_is_profile:
+            from ..prefilter.kmer_generator import ProfileKmerGenerator
+            from ..profile.io import kmer_rows, parse_profile
+            p = parse_profile(qreader.get_data(qid))
+            ss, si = kmer_rows(p)
+            matcher.generator = ProfileKmerGenerator(
+                kmer_size, alpha, ss, si, table.offsets_pat)
+            # (L, 21) diagonal-rescore profile: pssm/4 trunc, X column 0
+            s = p.scores.astype(np.int64)
+            rescore = np.zeros((p.length, alpha + 1), dtype=np.int64)
+            rescore[:, :20] = np.sign(s) * (np.abs(s) // 4)
+            hits = matcher.match(p.query_num.astype(np.int64), identity_id,
+                                 diagonal_scoring=bool(par.diag_score),
+                                 rescore_profile=rescore)
+            q_len = float(p.length)
+        else:
+            hits = matcher.match(qdb.seq_num(qid), identity_id,
+                                 diagonal_scoring=bool(par.diag_score))
+            q_len = float(qreader.get_seq_len(qid))
+        check_cov = par.cov_thr > 0.0 and par.cov_mode in (0, 2, 5)
+        lines = []
+        for tid, score, diag in hits:
+            # output coverage gate (Prefiltering.cpp:885-893)
+            if check_cov and not autil.can_be_covered(
+                    par.cov_thr, par.cov_mode, q_len,
+                    float(treader.get_seq_len(tid))):
+                continue
+            t_key = treader.get_db_key(tid)
+            lines.append(f"{t_key}\t{score}\t{diag}\n")
+        writer.write(q_key, "".join(lines).encode())
     writer.close()
     return 0

@@ -34,9 +34,22 @@ def search(par, command):
     # EasySearch/Search set SCORE_COV_SEQID; plain search defaults SCORE_COV
     if not par.was_set("alignment_mode") and not par.add_backtrace:
         par.set("alignment_mode", 2)
+
+    # target-profile search (searchtargetprofile.sh): prefilter against the
+    # profile-target index, align in the swapped (profile-query) direction,
+    # swap back (Search.cpp:453-476). The prefilter runs at its own default
+    # sensitivity (the workflow passes no -s).
+    if (t_type == dbt.DBTYPE_HMM_PROFILE
+            and q_type != dbt.DBTYPE_HMM_PROFILE
+            and not par.was_set("sensitivity")):
+        return _search_target_profile(par, wf, qdb, tdb, out_aln)
+
     # search raises the default prefilter sensitivity (Search.cpp:24)
     if not par.was_set("sensitivity"):
         par.set("sensitivity", 5.7)
+    if (t_type == dbt.DBTYPE_HMM_PROFILE
+            and q_type != dbt.DBTYPE_HMM_PROFILE):
+        return _search_target_profile(par, wf, qdb, tdb, out_aln)
 
     if both_nucl and par.search_type == 3:
         return _search_nucl(par, wf, qdb, tdb, out_aln)
@@ -277,3 +290,24 @@ def _merge_alignments(qdb_path, aln_paths, out_path):
     for r in readers:
         r.close()
     q.close()
+
+
+def _search_target_profile(par, wf, qdb, tdb, out_aln):
+    """Sequence queries vs profile targets (searchtargetprofile.sh)."""
+    INT_MAX = 2147483647
+    pref = wf.path("pref")
+    wf.step(pref, "prefilter", [qdb, tdb, pref], par)
+    wf.step(wf.path("pref_swapped"), "swapresults",
+            [qdb, tdb, pref, wf.path("pref_swapped")], par)
+    # align all swapped hits; coverage mode swaps with the direction
+    orig_cov = par.cov_mode
+    par.set("cov_mode", {1: 2, 2: 1}.get(orig_cov, orig_cov))
+    wf.step(wf.path("aln_swapped"), "align",
+            [tdb, qdb, wf.path("pref_swapped"), wf.path("aln_swapped"),
+             "--max-seqs", str(INT_MAX)], par)
+    par.set("cov_mode", orig_cov)
+    wf.step(out_aln, "swapresults",
+            [tdb, qdb, wf.path("aln_swapped"), out_aln], par)
+    if par.remove_tmp_files:
+        wf.cleanup(True)
+    return 0

@@ -185,7 +185,11 @@ class DBReader:
         return self.get_data(i)
 
     def total_residues(self) -> int:
-        """Total sequence residues (aminoAcidDBSize analog): sum(length-2)."""
+        """getAminoAcidDBSize (DBReader.cpp:613-621): sum(length-2) for
+        sequences; profile DBs count columns (dataSize/25 - size)."""
+        from . import dbtype as dbt
+        if self.base_type == dbt.DBTYPE_HMM_PROFILE:
+            return int(self.lengths.sum()) // 25 - self.size
         return int(self.lengths.sum()) - 2 * self.size
 
     def __len__(self):
