@@ -85,6 +85,22 @@ COMMANDS: List[Command] = [
     Command("filterdb", "filterdb_cmd", "filterdb", CAT_UTIL,
             "Filter result DB entries by column/file criteria",
             "filterdb <resultDB> <outDB>", 2, 2),
+    Command("kmerindexdb", "linsearch", "kmerindexdb", CAT_DB,
+            "Persist the k-min-mer table for linsearch",
+            "kmerindexdb <seqDB> <indexDB>", 2, 2),
+    Command("createlinindex", "linsearch", "createlinindex", CAT_DB,
+            "Create the linsearch index (<seqDB>.linidx)",
+            "createlinindex <seqDB> [<tmpDir>]", 1, 2),
+    Command("kmersearch", "linsearch", "kmersearch", CAT_CORE,
+            "Match query k-min-mers against a linsearch index",
+            "kmersearch <queryDB> <indexDB> <prefDB>", 3, 3),
+    Command("linsearch", "linsearch", "linsearch", CAT_WORKFLOW,
+            "Fast, less sensitive linear-time search",
+            "linsearch <queryDB> <targetDB> <alnDB> <tmpDir>", 4, 4),
+    Command("easy-linsearch", "linsearch", "easy_linsearch", CAT_MAIN,
+            "Fast linear-time search (FASTA in, BLAST-tab out)",
+            "easy-linsearch <queryFasta> <targetFasta> <outFile> <tmpDir>",
+            4, 4),
     Command("map", "map_rbh", "map_workflow", CAT_WORKFLOW,
             "Map nearly identical sequences",
             "map <queryDB> <targetDB> <alnDB> <tmpDir>", 4, 4),
