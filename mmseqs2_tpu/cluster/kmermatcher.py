@@ -58,10 +58,10 @@ def select_kmers(seq_num: np.ndarray, k: int, alpha: int, x_index: int,
                  offsets: np.ndarray = None, span: int = None):
     """Lowest-hash k-mer selection for one sequence.
 
-    Returns (kmer u64 array, pos array) of the selected k-mers, in sequence
-    order, reproducing the reference's histogram threshold + last-bin-excess
-    admission (kmermatcher.cpp:240-340). offsets/span describe a spaced seed
-    pattern (consecutive if omitted).
+    Returns (kmer u64 array, pos array, hash16 array) of the selected
+    k-mers, in sequence order, reproducing the reference's histogram
+    threshold + last-bin-excess admission (kmermatcher.cpp:240-340).
+    offsets/span describe a spaced seed pattern (consecutive if omitted).
     """
     if offsets is None:
         offsets = np.arange(k)
@@ -69,7 +69,8 @@ def select_kmers(seq_num: np.ndarray, k: int, alpha: int, x_index: int,
     L = len(seq_num)
     n = L - span + 1
     if n <= 0:
-        return (np.zeros(0, np.uint64), np.zeros(0, np.int64))
+        return (np.zeros(0, np.uint64), np.zeros(0, np.int64),
+                np.zeros(0, np.int64))
     win = seq_num[np.arange(n)[:, None] + offsets[None, :]]
     valid = ~(win == x_index).any(axis=1)
     powers = (np.uint64(alpha) ** np.arange(k, dtype=np.uint64))
@@ -79,7 +80,8 @@ def select_kmers(seq_num: np.ndarray, k: int, alpha: int, x_index: int,
     idx = idx[valid]
     pos = np.nonzero(valid)[0]
     if len(idx) == 0:
-        return (np.zeros(0, np.uint64), np.zeros(0, np.int64))
+        return (np.zeros(0, np.uint64), np.zeros(0, np.int64),
+                np.zeros(0, np.int64))
     hashes = (xxh64_u64(idx, hash_shift) & np.uint64(0xFFFF)).astype(np.int64)
     target = min(kmer_considered, len(idx))
     counts = np.bincount(hashes, minlength=65536)
@@ -95,7 +97,7 @@ def select_kmers(seq_num: np.ndarray, k: int, alpha: int, x_index: int,
         admit_eq = eq
     admitted = lt | admit_eq
     admitted &= np.cumsum(admitted) <= target
-    return idx[admitted], pos[admitted]
+    return idx[admitted], pos[admitted], hashes[admitted]
 
 
 def build_pairs(seqs, keys, k: int, alpha: int, x_index: int,
@@ -114,8 +116,8 @@ def build_pairs(seqs, keys, k: int, alpha: int, x_index: int,
     for lid, seq in enumerate(seqs):
         L = len(seq)
         considered = int(kmers_per_seq - 1 + kmers_per_seq_scale * L)
-        kmers, pos = select_kmers(seq, k, alpha, x_index,
-                                  considered, hash_shift, offsets, span)
+        kmers, pos, _ = select_kmers(seq, k, alpha, x_index,
+                                     considered, hash_shift, offsets, span)
         key = int(keys[lid])
         ks.append(kmers)
         ids.append(np.full(len(kmers), key, dtype=np.int64))

@@ -51,11 +51,14 @@ def linclust(par, command):
     # the workflow serializes current values explicitly
     # (createParameterString), so the k-mer stage sees --kmer-per-seq 21
     # (the global default) rather than the standalone command's 20
+    # our linclust implements the v1 (linclust1) module; pass the version
+    # down so kmermatcher stays on the longest-center path (the v2
+    # center-swapping chain belongs to the align2clust module)
     pref = wf.path("pref")
     wf.step(pref, "kmermatcher",
             [seq_db, pref, "--kmer-per-seq", par.kmer_per_seq,
              "--min-seq-id", par.min_seq_id, "-c", par.cov_thr,
-             "--cov-mode", par.cov_mode], par)
+             "--cov-mode", par.cov_mode, "--linclust-version", 1], par)
 
     # hamming pre-clustering with >= 0.5 floors (Linclust.cpp:137-144)
     resc1 = wf.path("pref_rescore1")

@@ -61,6 +61,41 @@ def kmermatcher(par, command):
     # standalone default: no spaced k-mers (setLinearFilterDefault)
     spaced = bool(par.spaced_kmer_mode) if par.was_set("spaced_kmer_mode") \
         else False
+
+    # --linclust-version 2 (the default) with adjacency and/or count-table
+    # center swapping enabled takes the write-buffer chain dataflow
+    # (kmermatcher.cpp:1501-1526); version 1 forces both off.
+    include_adj = par.include_adjacency and par.linclust_version != 1
+    include_ct = par.include_count_table and par.linclust_version != 1
+    if include_adj or include_ct:
+        from ..cluster import kmermatcher_chain as kmc
+        from ..prefilter.kmer_index import pattern_offsets
+        offsets, span = pattern_offsets(k, spaced)
+        result = kmc.kmermatcher_v2(
+            seqs, reader.keys, k, alpha - 1, x_idx, kmer_per_seq,
+            par.kmer_per_seq_scale.aa, par.hash_shift, offsets, span,
+            cov_thr, par.cov_mode, par.include_only_extendable,
+            submat.sub_matrix, include_adj=include_adj,
+            include_ct=include_ct, adj_iters=par.num_adjacency,
+            ct_iters=par.num_count_table,
+            count_scale=par.count_table_scale,
+            max_key=int(max(reader.keys)) if reader.size else 0)
+        writer = DBWriter(out_path, dbt.DBTYPE_PREFILTER_RES)
+        written = set()
+        for rep in sorted(result):
+            lines = [f"{rep}\t0\t0\n"]
+            for member, score, diag in result[rep]:
+                lines.append(f"{member}\t{score}\t{diag}\n")
+            writer.write(rep, "".join(lines).encode())
+            written.add(rep)
+        for i in range(reader.size):
+            key = int(reader.get_db_key(i))
+            if key not in written:
+                writer.write(key, f"{key}\t0\t0\n".encode())
+        writer.close()
+        reader.close()
+        return 0
+
     rep_k, mem_k, diags = km.build_pairs(
         seqs, reader.keys, k, alpha - 1, x_idx, kmer_per_seq,
         par.kmer_per_seq_scale.aa, par.hash_shift, cov_thr, par.cov_mode,

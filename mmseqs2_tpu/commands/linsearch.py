@@ -44,8 +44,8 @@ def _extract_sorted(reader, submat, k, alpha, kmer_per_seq, par, spaced):
         seq = submat.encode(reader.get_seq(lid))
         considered = int(kmer_per_seq - 1
                          + par.kmer_per_seq_scale.aa * len(seq))
-        kmers, pos = km.select_kmers(seq, k, alpha - 1, x_idx, considered,
-                                     par.hash_shift, offsets, span)
+        kmers, pos, _ = km.select_kmers(seq, k, alpha - 1, x_idx, considered,
+                                        par.hash_shift, offsets, span)
         key = int(reader.get_db_key(lid))
         ks.append(kmers)
         ids.append(np.full(len(kmers), key, np.int64))

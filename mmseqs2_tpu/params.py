@@ -191,6 +191,18 @@ _A("--include-only-extendable", "include_only_extendable", bool, False,
    "include only extendable")
 _A("--ignore-multi-kmer", "ignore_multi_kmer", bool, False,
    "skip repeated k-mers")
+_A("--include-adjacency", "include_adjacency", bool, True,
+   "adjacency-context center swapping (linclust v2)")
+_A("--include-count-table", "include_count_table", bool, True,
+   "count-table center swapping (linclust v2)")
+_A("--num-adjacency", "num_adjacency", int, 3,
+   "adjacency center-swapping iterations")
+_A("--num-count-table", "num_count_table", int, 2,
+   "count-table center-swapping iterations")
+_A("--count-table-scale", "count_table_scale", float, 0.1,
+   "fraction of k-mers sampled for the count table")
+_A("--linclust-version", "linclust_version", int, 2,
+   "linclust version: 1 longest-center, 2 center-swapping chain")
 _A("--filter-file", "filter_file", str, "", "filter by file membership")
 _A("--rescore-mode", "rescore_mode", int, 0,
    "0: hamming 1: substitution 2: ungapped alignment 3: end-to-end 4: window")

@@ -150,10 +150,28 @@ def test_rescorediagonal_parity(tmp_path, mode):
 
 
 def test_kmermatcher_parity(tmp_path):
+    # longest-center (linclust v1) path; golden generated with
+    # --include-adjacency 0 --include-count-table 0
     out = str(tmp_path / "kmp")
-    run_cmd("kmermatcher", [str(GOLDEN / "qdb"), out])
+    run_cmd("kmermatcher", [str(GOLDEN / "qdb"), out,
+                            "--linclust-version", "1"])
     got = entries_by_key(out)
     want = entries_by_key(str(GOLDEN / "kmpref"))
+    assert got == want
+
+
+@pytest.mark.parametrize("flags,golden", [
+    ([], "km_default"),                            # adjacency + count-table
+    (["--include-adjacency", "0"], "km_ct"),       # count-table only
+    (["--include-count-table", "0"], "km_adj"),    # adjacency only
+])
+def test_kmermatcher_v2_parity(tmp_path, flags, golden):
+    # linclust v2 center-swapping chain (reference default); goldens from
+    # the reference binary with --threads 1
+    out = str(tmp_path / "kmp2")
+    run_cmd("kmermatcher", [str(GOLDEN / "qdb"), out] + flags)
+    got = entries_by_key(out)
+    want = entries_by_key(str(GOLDEN / golden))
     assert got == want
 
 
