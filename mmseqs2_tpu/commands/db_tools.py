@@ -244,6 +244,43 @@ def dbtype_cmd(par, command):
     return 0
 
 
+def _recompress(par, to_compressed: bool):
+    """Shared body of compress/decompress (reference src/util/compress.cpp)."""
+    db, out = par.filenames[:2]
+    with DBReader(db) as r:
+        if r.compressed == to_compressed:
+            log.info("Database is already %s." %
+                     ("compressed" if to_compressed else "decompressed"))
+            # still produce the output DB so workflows can rely on it
+        with DBWriter(out, r.base_type, r.extended_type,
+                      compressed=to_compressed) as w:
+            for i in range(r.size):
+                w.write(r.get_db_key(i), r.get_data(i))
+    for suf in (".lookup", ".source"):
+        if os.path.exists(db + suf):
+            shutil.copyfile(db + suf, out + suf)
+    return 0
+
+
+def compress(par, command):
+    """Per-entry zstd compression (reference src/util/compress.cpp:50-52)."""
+    return _recompress(par, True)
+
+
+def decompress(par, command):
+    """Inverse of compress (reference src/util/compress.cpp:54-56)."""
+    return _recompress(par, False)
+
+
+def setextendeddbtype(par, command):
+    """OR an extended flag into a DB's .dbtype
+    (reference src/util/setextendeddbtype.cpp)."""
+    db = par.filenames[0]
+    base, ext = dbt.read_dbtype(db)
+    dbt.write_dbtype(db, base, ext | (par.extended_dbtype or 0))
+    return 0
+
+
 def swapresults(par, command):
     """Transpose a result DB: entries keyed by target, lines keyed by query.
 

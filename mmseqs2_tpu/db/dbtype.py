@@ -35,6 +35,13 @@ DBTYPE_EXTENDED_COMPRESSED = 1
 DBTYPE_EXTENDED_INDEX_NEED_SRC = 2
 DBTYPE_EXTENDED_CONTEXT_PSEUDO_COUNTS = 4
 DBTYPE_EXTENDED_GPU = 8
+DBTYPE_EXTENDED_SET = 16
+
+# Per-entry zstd compression is flagged by BIT 31 of the whole 4-byte word,
+# not by an extended flag (reference src/commons/DBReader.cpp:1122-1124,
+# src/util/compress.cpp:26). In our (base, extended) split that is bit 15 of
+# the high half.
+COMPRESSED_BIT_IN_EXTENDED = 0x8000
 
 
 def pack_dbtype(base: int, extended: int = 0) -> bytes:

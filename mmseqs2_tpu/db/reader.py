@@ -31,7 +31,7 @@ class DBReader:
         self.data_path = data_path
         self.index_path = index_path or (data_path + ".index")
         self.base_type, self.extended_type = dbt.read_dbtype(data_path)
-        self.compressed = bool(self.extended_type & dbt.DBTYPE_EXTENDED_COMPRESSED)
+        self.compressed = bool(self.extended_type & dbt.COMPRESSED_BIT_IN_EXTENDED)
         self._zstd = None
         if self.compressed:
             import zstandard  # stdlib-absent; gate hard if unavailable
@@ -159,12 +159,30 @@ class DBReader:
 
     def get_data(self, idx: int) -> bytes:
         """Entry payload *without* the trailing '\\0'."""
-        raw = self._read_span(int(self.offsets[idx]), int(self.lengths[idx]))
         if self.compressed:
-            # per-entry zstd frame; entry = frame bytes (no terminator semantics)
-            raw = self._zstd.decompress(raw[: -1] if raw.endswith(b"\0") else raw)
-            return raw
+            # On-disk entry: [u32 cSize][cSize payload bytes][terminator].
+            # terminator 0x00 -> payload is a zstd stream; anything else
+            # (reference writes 0xFF for entries < 60 bytes) -> raw payload.
+            # The index length holds the UNCOMPRESSED size + 1, so it cannot
+            # be used to bound the on-disk read
+            # (reference src/commons/DBReader.cpp:584-611,
+            #  src/commons/DBWriter.cpp:289-398).
+            off = int(self.offsets[idx])
+            csize = int.from_bytes(self._read_span(off, 4), "little")
+            blob = self._read_span(off + 4, csize + 1)
+            payload, term = blob[:csize], blob[csize]
+            if term == 0:
+                return self._zstd.decompress(
+                    payload, max_output_size=max(int(self.lengths[idx]), 64))
+            return payload
+        raw = self._read_span(int(self.offsets[idx]), int(self.lengths[idx]))
         return raw[:-1] if raw.endswith(b"\0") else raw
+
+    def linear_order(self):
+        """Internal ids sorted by data offset — the iteration order of the
+        reference's LINEAR_ACCCESS open mode (DBReader.cpp sortIndex), which
+        matters for byte parity when entries were written out of key order."""
+        return np.argsort(self.offsets, kind="stable")
 
     def get_data_raw(self, idx: int) -> bytes:
         """Entry payload exactly as stored (no '\\0'-stripping) — for

@@ -18,11 +18,21 @@ class DBWriter:
     """
 
     def __init__(self, data_path: str, base_type: int = dbt.DBTYPE_GENERIC_DB,
-                 extended_type: int = 0):
+                 extended_type: int = 0, compressed: bool = False):
         self.data_path = data_path
         self.index_path = data_path + ".index"
         self.base_type = base_type
-        self.extended_type = extended_type
+        # the compressed bit describes *this* writer's output, never inherited
+        self.extended_type = extended_type & ~dbt.COMPRESSED_BIT_IN_EXTENDED
+        self.compressed = compressed
+        self._cctx = None
+        if compressed:
+            import zstandard
+
+            # level 3 streaming frames, matching the reference's
+            # ZSTD_initCStream(cLevel=3) (src/commons/DBWriter.cpp:273).
+            self._cctx = zstandard.ZstdCompressor(level=3)
+            self.extended_type |= dbt.COMPRESSED_BIT_IN_EXTENDED
         self._f = open(data_path, "wb")
         self._entries = []  # (key, offset, length)
         self._offset = 0
@@ -31,6 +41,22 @@ class DBWriter:
         """Write one entry. `payload` should already end with '\\n' for text
         records; a '\\0' terminator is appended (counted in the stored length,
         matching the reference)."""
+        if self.compressed:
+            # Entry layout: [u32 cSize][zstd frame or raw][0x00|0xFF]; index
+            # length records the UNCOMPRESSED size + 1 terminator
+            # (reference src/commons/DBWriter.cpp:283-398). Entries < 60
+            # bytes are stored raw with terminator 0xFF.
+            if len(payload) < 60:
+                blob, term = payload, b"\xff"
+            else:
+                cobj = self._cctx.compressobj()
+                blob, term = cobj.compress(payload) + cobj.flush(), b"\0"
+            self._f.write(len(blob).to_bytes(4, "little"))
+            self._f.write(blob)
+            self._f.write(term)
+            self._entries.append((key, self._offset, len(payload) + 1))
+            self._offset += 4 + len(blob) + 1
+            return
         self._f.write(payload)
         n = len(payload)
         if add_null:

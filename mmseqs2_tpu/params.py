@@ -92,6 +92,8 @@ _A = REGISTRY.add
 _A("-v", "verbosity", int, 3, "verbosity level 0-3")
 _A("--threads", "threads", int, 0, "CPU threads (0 = all)")
 _A("--compressed", "compressed", int, 0, "write compressed output")
+_A("--extended-dbtype", "extended_dbtype", int, 0,
+   "extended dbtype flag: 1 compressed, 2 need src, 4 context pseudo counts")
 _A("--max-seq-len", "max_seq_len", int, 65535, "maximum sequence length")
 _A("--sub-mat", "sub_mat", ("multi", str),
    MultiParam("blosum62.out", "nucleotide.out"), "substitution matrix")
@@ -242,6 +244,12 @@ _A("--match-mode", "match_mode", int, 0,
 _A("--match-ratio", "match_ratio", float, 0.5, "column match gap ratio")
 _A("--msa-type", "msa_type", int, 2, "0: ca3m, 1: a3m, 2: fasta")
 _A("--summary-prefix", "summary_prefix", str, "cl", "summary line prefix")
+_A("--extract-mode", "extract_mode", int, 2, "extract from 1: query, 2: target")
+_A("--gff-type", "gff_type", str, "",
+   "feature type(s) in the GFF file to filter by")
+_A("--use-seq-id", "use_seq_id", bool, False,
+   "diff by fasta accession instead of whole header")
+_A("--header-type", "header_type", int, 1, "1: uniclust, 2: metaclust")
 _A("--allow-deletion", "allow_deletion", bool, False, "allow MSA deletions")
 
 # -- taxonomy ----------------------------------------------------------------------

@@ -66,3 +66,46 @@ def test_dbtype_roundtrip(tmp_path):
     base, ext = dbt.read_dbtype(db)
     assert base == dbt.DBTYPE_PREFILTER_RES
     assert ext == dbt.DBTYPE_EXTENDED_COMPRESSED
+
+
+GOLDEN_TOY = os.path.join(os.path.dirname(__file__), "golden", "toy")
+
+
+def test_read_reference_compressed_db():
+    """qdb_c was produced by `mmseqs compress qdb qdb_c` with the reference
+    binary: entry layout [u32 cSize][zstd frame|raw][0x00|0xFF]
+    (reference src/commons/DBReader.cpp:584-611)."""
+    c = DBReader(os.path.join(GOLDEN_TOY, "qdb_c"))
+    u = DBReader(os.path.join(GOLDEN_TOY, "qdb"))
+    assert c.compressed and not u.compressed
+    assert c.size == u.size
+    for i in range(c.size):
+        assert c.get_data(i) == u.get_data(i)
+    c.close()
+    u.close()
+
+
+def test_compress_decompress_roundtrip(tmp_path):
+    from mmseqs2_tpu.commands.db_tools import compress, decompress
+
+    qdb = os.path.join(GOLDEN_TOY, "qdb")
+    cdb = str(tmp_path / "c")
+    ddb = str(tmp_path / "d")
+    compress(_params([qdb, cdb]), None)
+    u = DBReader(qdb)
+    c = DBReader(cdb)
+    assert c.compressed
+    # index length column records uncompressed length, same as reference's
+    ref_idx = [l.split("\t")[0] + "\t" + l.split("\t")[2]
+               for l in open(os.path.join(GOLDEN_TOY, "qdb_c.index"))]
+    our_idx = [l.split("\t")[0] + "\t" + l.split("\t")[2]
+               for l in open(cdb + ".index")]
+    assert ref_idx == our_idx
+    for i in range(c.size):
+        assert c.get_data(i) == u.get_data(i)
+    # decompress of the REFERENCE-compressed DB must be byte-identical to qdb
+    decompress(_params([os.path.join(GOLDEN_TOY, "qdb_c"), ddb]), None)
+    assert open(ddb, "rb").read() == open(qdb, "rb").read()
+    assert (open(ddb + ".index").read() == open(qdb + ".index").read())
+    u.close()
+    c.close()
