@@ -127,6 +127,14 @@ def convertalis(par, command):
                                     par.gap_open.aa, par.gap_extend.aa)
         tr.close()
 
+    writer = None
+    if par.db_output:
+        # reference convertalignments.cpp:265,843 — --db-output writes one
+        # GENERIC_DB entry per query instead of a flat file
+        from ..db import dbtype as dbt
+        from ..db.writer import DBWriter
+        writer = DBWriter(out_path, dbt.DBTYPE_GENERIC_DB,
+                          compressed=bool(par.compressed))
     out_lines = []
     # reference opens the result DB with LINEAR_ACCCESS: iterate in data
     # (offset) order, not key order (DBReader.h sort modes)
@@ -136,6 +144,7 @@ def convertalis(par, command):
         qhid = qh.get_id(query_key)
         query_id = parse_fasta_header(qh.get_data(qhid).decode())
         data = aln.get_data(i)
+        q_lines = [] if writer is not None else out_lines
         for line in data.split(b"\n"):
             if not line:
                 continue
@@ -237,9 +246,14 @@ def convertalis(par, command):
                     cols.append("")
                 else:
                     log.die(f"Unsupported --format-output key: {code}")
-            out_lines.append("\t".join(cols) + "\n")
-    with open(out_path, "w") as f:
-        f.write("".join(out_lines))
+            q_lines.append("\t".join(cols) + "\n")
+        if writer is not None:
+            writer.write(query_key, "".join(q_lines).encode())
+    if writer is not None:
+        writer.close()
+    else:
+        with open(out_path, "w") as f:
+            f.write("".join(out_lines))
     aln.close()
     qh.close()
     if th is not qh:

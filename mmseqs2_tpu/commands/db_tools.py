@@ -12,7 +12,7 @@ import numpy as np
 
 from ..db import dbtype as dbt
 from ..db.reader import DBReader
-from ..db.writer import DBWriter, remove_db
+from ..db.writer import DBWriter, remove_db, write_lookup, write_source
 from ..utils import log
 
 DB_SUFFIXES = ["", ".index", ".dbtype", ".lookup", ".source"]
@@ -375,4 +375,164 @@ def swapresults(par, command):
     res.close()
     q.close()
     t.close()
+    return 0
+
+
+_SANITIZE = str.maketrans({c: "@" for c in "\\/:*?<>|"})
+
+
+def unpackdb(par, command):
+    """Unpack a DB into one flat file per entry
+    (reference src/util/unpackdb.cpp). Names come from the .lookup
+    (--unpack-name-mode 1, default) or the numeric key (mode 0)."""
+    import gzip
+
+    db, outdir = par.filenames[:2]
+    name_mode = par.unpack_name_mode
+    names = {}
+    if name_mode == 1:
+        if not os.path.exists(db + ".lookup"):
+            log.info(f"No lookup file for {os.path.basename(db)} found, "
+                     "using key-based file naming")
+            name_mode = 0
+        else:
+            with open(db + ".lookup") as f:
+                for line in f:
+                    parts = line.split("\t")
+                    names[int(parts[0])] = parts[1]
+    os.makedirs(outdir, exist_ok=True)
+    with DBReader(db) as r:
+        for i in r.linear_order():
+            i = int(i)
+            key = r.get_db_key(i)
+            if name_mode == 1:
+                name = names[key].translate(_SANITIZE)
+            else:
+                name = str(key)
+            path = os.path.join(outdir, name + par.unpack_suffix)
+            opener = gzip.open if path.endswith(".gz") else open
+            with opener(path, "wb") as f:
+                f.write(r.get_data(i))
+    return 0
+
+
+def tar2db(par, command):
+    """Create a DB from the members of tar archive(s)
+    (reference src/util/tar2db.cpp). Every regular member consumes a key;
+    members failing --tar-include/--tar-exclude are skipped but still
+    advance the key counter. .gz/.bz2 members are decompressed."""
+    import bz2
+    import gzip
+    import re
+    import tarfile
+
+    *tars, out = par.filenames
+    include = re.compile(par.tar_include)
+    exclude = re.compile(par.tar_exclude)
+    sources = []
+    lookup_lines = []
+    key = 0
+    with DBWriter(out, par.output_dbtype,
+                  compressed=bool(par.compressed)) as w:
+        for fi, tf in enumerate(tars):
+            sources.append((fi, os.path.basename(tf)))
+            with tarfile.open(tf, "r:*") as tar:
+                for member in tar:
+                    if not member.isreg():
+                        continue
+                    name = member.name
+                    cur = key
+                    key += 1
+                    if not include.search(name) or exclude.search(name):
+                        continue
+                    data = tar.extractfile(member).read()
+                    if name.endswith(".gz"):
+                        data = gzip.decompress(data)
+                    elif name.endswith(".bz2"):
+                        data = bz2.decompress(data)
+                    w.write(cur, data)
+                    lookup_lines.append(
+                        (cur, os.path.basename(name), fi))
+    write_lookup(out, lookup_lines)
+    write_source(out, sources)
+    return 0
+
+
+def db2tar(par, command):
+    """Pack each DB entry into a tar archive member named from the .lookup
+    (reference src/util/db2tar.cpp)."""
+    import io
+    import tarfile
+
+    db, out = par.filenames[:2]
+    lookup = {}
+    with open(db + ".lookup") as f:
+        for line in f:
+            parts = line.split("\t")
+            lookup[int(parts[0])] = parts[1]
+    mode = "w:gz" if out.endswith((".gz", ".tgz")) else "w"
+    with DBReader(db) as r, tarfile.open(out, mode, format=tarfile.USTAR_FORMAT) as tar:
+        for i in range(r.size):
+            data = r.get_data(i)
+            info = tarfile.TarInfo(lookup[r.get_db_key(i)])
+            info.size = len(data)
+            tar.addfile(info, io.BytesIO(data))
+    return 0
+
+
+def makepaddedseqdb(par, command):
+    """Write the GPU-padded numeric sequence DB: entries are aa2num codes
+    (+32 when masked/lowercase), 4-byte aligned with X padding, renumbered
+    0..N-1 in ascending-length order; the index records L+2
+    (reference src/util/makepaddedseqdb.cpp)."""
+    from ..data.submat import get_submat
+    from ..ops.tantan import likelihood_ratio_matrix, mask_batch
+    from .convertalis import parse_fasta_header
+
+    db, out = par.filenames[:2]
+    ALIGN = 4
+    reader = DBReader(db)
+    hdr = DBReader(db + "_h")
+    submat = get_submat(par.sub_mat.aa, 2.0, 0.0)
+    aa2num = submat.make_aa2num_table()
+    lr = likelihood_ratio_matrix(submat) if par.mask else None
+    x_idx = submat.alphabet_size - 1
+    # SORT_BY_LENGTH descending, then iterate reversed -> ascending length,
+    # ties by key-sorted id descending (makepaddedseqdb.cpp:66)
+    order = sorted(range(reader.size),
+                   key=lambda i: (-int(reader.lengths[i]), i), reverse=True)
+    sw = DBWriter(out, reader.base_type,
+                  reader.extended_type | dbt.DBTYPE_EXTENDED_GPU)
+    hw = DBWriter(out + "_h", dbt.DBTYPE_GENERIC_DB)
+    lookup = []
+    for new_key, i in enumerate(order):
+        key = reader.get_db_key(i)
+        raw = reader.get_seq(i)
+        num = aa2num[np.frombuffer(raw, dtype=np.uint8)]
+        if par.mask:
+            masked, _ = mask_batch([num.astype(np.int64)], lr, x_idx,
+                                   par.mask_prob)
+            is_masked = masked[0] == x_idx
+            if par.mask_lower_case:
+                is_masked |= np.frombuffer(raw, np.uint8) >= ord("a")
+            outnum = np.where(is_masked, num + 32, num).astype(np.uint8)
+        else:
+            lower = np.frombuffer(raw, np.uint8) >= ord("a")
+            outnum = np.where(lower, num + 32, num).astype(np.uint8)
+        pad = (-len(outnum)) % ALIGN
+        payload = outnum.tobytes() + bytes([20]) * pad
+        sw.write(new_key, payload, add_null=False,
+                 index_len=len(outnum) + 2)
+        h = hdr.get_data_by_key(key)
+        hw.write(new_key, h)
+        lookup.append((new_key,
+                       parse_fasta_header(h.decode()), key))
+    sw.close(sort_by_key=False)
+    hw.close(sort_by_key=False)
+    if par.write_lookup:
+        write_lookup(out, lookup)
+        if os.path.exists(db + ".source"):
+            shutil.copy(db + ".source", out + ".source")
+    reader.close()
+    hdr.close()
     return 0

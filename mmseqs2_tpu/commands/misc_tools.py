@@ -627,3 +627,27 @@ def clusthash(par, command):
             start = stop
     r.close()
     return 0
+
+
+def calculatelambda(par, command):
+    """Compute Karlin-Altschul lambda + background for a matrix file,
+    print them as '# ...' comments followed by the comment-stripped matrix
+    (reference src/util/calculatelambda.cpp + SubstitutionMatrix.cpp:396-403:
+    SSTR(float, 5) = %.5f)."""
+    import tempfile
+
+    from ..data.submat import SubstitutionMatrix
+
+    path = par.filenames[0]
+    with open(path) as f:
+        filtered = "".join(line.rstrip("\n") + "\n" for line in f
+                           if not line.startswith("#"))
+    with tempfile.NamedTemporaryFile("w", suffix=".out") as tmp:
+        tmp.write(filtered)
+        tmp.flush()
+        mat = SubstitutionMatrix(tmp.name, 2.0, 0.0)
+    back = " ".join(f"{p:.5f}" for p in mat._pback_file)
+    print(f"# Background (precomputed optional): {back}")
+    print(f"# Lambda     (precomputed optional): {mat.lambda_file:.5f}")
+    print(filtered, end="")
+    return 0

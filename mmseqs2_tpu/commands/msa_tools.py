@@ -360,3 +360,63 @@ def profile2consensus(par, command):
 def profile2repseq(par, command):
     """Extract the representative (query) sequences from a profile DB."""
     return _profile2seq(par, False)
+
+
+def convertca3m(par, command):
+    """Convert a cA3M DB into an alignment-result DB
+    (reference src/util/convertca3m.cpp: extractMatcherResults with
+    skipFirst=true, then Matcher::resultToBuffer with backtrace).
+
+    Usage: convertca3m <ca3mDB> <resultDB>
+    """
+    from ..align.aligner import AlnResult
+    from ..profile.ca3m import extract_matcher_results
+
+    ca3m, out = par.filenames[:2]
+    with DBReader(ca3m + "_ca3m.ffdata", ca3m + "_ca3m.ffindex") as r, \
+            DBReader(ca3m + "_sequence.ffdata",
+                     ca3m + "_sequence.ffindex") as seqs, \
+            DBWriter(out, dbt.DBTYPE_CA3M_DB,
+                     compressed=bool(par.compressed)) as w:
+        for i in r.linear_order():
+            key, results = extract_matcher_results(
+                r.get_data(int(i)), seqs, skip_first=True)
+            lines = []
+            for h in results:
+                res = AlnResult(
+                    db_key=h["db_key"], score=0, raw_score=0, seq_id=0.0,
+                    eval=0.0, q_start=h["q_start"], q_end=h["q_end"],
+                    q_len=h["q_len"], db_start=h["db_start"],
+                    db_end=h["db_end"], db_len=h["db_len"],
+                    backtrace=h["backtrace"])
+                lines.append(res.to_line(add_backtrace=True))
+            w.write(key, "".join(lines).encode())
+    return 0
+
+
+def profile2neff(par, command):
+    """Per-position Neff_M values of a profile DB
+    (reference src/util/profile2neff.cpp): flat text by default
+    ('Neff_Ms of sequence <key>' header line + tab-separated %.4f row),
+    or a DB with --db-output."""
+    from ..profile.io import parse_profile
+
+    db, out = par.filenames[:2]
+    is_db = bool(par.db_output)
+    reader = DBReader(db)
+    writer = DBWriter(out, dbt.DBTYPE_GENERIC_DB,
+                      compressed=bool(par.compressed and is_db)) \
+        if is_db else open(out, "w")
+    order = np.argsort(reader.offsets, kind="stable")
+    for i in order:
+        i = int(i)
+        key = reader.get_db_key(i)
+        p = parse_profile(reader.get_data(i))
+        row = "\t".join(f"{v:0.4f}" for v in p.neff) + "\n"
+        if is_db:
+            writer.write(key, row.encode())
+        else:
+            writer.write(f"Neff_Ms of sequence {key}\n" + row)
+    writer.close()
+    reader.close()
+    return 0

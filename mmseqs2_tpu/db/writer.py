@@ -37,10 +37,13 @@ class DBWriter:
         self._entries = []  # (key, offset, length)
         self._offset = 0
 
-    def write(self, key: int, payload: bytes, add_null: bool = True) -> None:
+    def write(self, key: int, payload: bytes, add_null: bool = True,
+              index_len: int = None) -> None:
         """Write one entry. `payload` should already end with '\\n' for text
         records; a '\\0' terminator is appended (counted in the stored length,
-        matching the reference)."""
+        matching the reference). `index_len` overrides the recorded length
+        (used by the GPU-padded format, reference makepaddedseqdb.cpp:97-101,
+        where the index holds L+2 but the data holds the aligned length)."""
         if self.compressed:
             # Entry layout: [u32 cSize][zstd frame or raw][0x00|0xFF]; index
             # length records the UNCOMPRESSED size + 1 terminator
@@ -62,7 +65,8 @@ class DBWriter:
         if add_null:
             self._f.write(b"\0")
             n += 1
-        self._entries.append((key, self._offset, n))
+        self._entries.append((key, self._offset,
+                              n if index_len is None else index_len))
         self._offset += n
 
     def close(self, sort_by_key: bool = True) -> None:

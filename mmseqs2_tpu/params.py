@@ -110,6 +110,11 @@ _A("--dbtype", "dbtype", int, 0, "0: auto, 1: amino acid, 2: nucleotides")
 _A("--shuffle", "shuffle", bool, True, "shuffle the input database")
 _A("--createdb-mode", "createdb_mode", int, 0, "0: copy data, 1: soft-link")
 _A("--write-lookup", "write_lookup", int, 1, "write .lookup file")
+_A("--tar-include", "tar_include", str, ".*", "include tar members matching regex")
+_A("--tar-exclude", "tar_exclude", str, "^$", "exclude tar members matching regex")
+_A("--unpack-suffix", "unpack_suffix", str, "", "file suffix for unpacked files")
+_A("--unpack-name-mode", "unpack_name_mode", int, 1,
+   "name unpacked files by 0: DB key, 1: accession (through .lookup)")
 _A("--id-offset", "id_offset", int, 0, "numeric id offset")
 
 # -- prefilter ---------------------------------------------------------------------
@@ -374,6 +379,11 @@ class Params:
         n = len(argv)
         while i < n:
             tok = argv[i]
+            if tok == "--":
+                # everything after a bare `--` is positional (apply's
+                # program + args; reference src/util/apply.cpp argv split)
+                self.filenames.extend(argv[i + 1:])
+                break
             if tok.startswith("-") and len(tok) > 1 and not _is_number(tok):
                 p = REGISTRY.by_flag(tok)
                 if p is None:
