@@ -117,3 +117,57 @@ def result_to_line(res, add_backtrace: bool) -> str:
     if add_backtrace:
         parts.append(compress_backtrace(res.backtrace))
     return "\t".join(parts) + "\n"
+
+
+def rescore_backtrace(q_seq, t_seq, enc, sub_matrix, evaluer,
+                      gap_open, gap_ext, res):
+    """Port of Matcher::updateResultByRescoringBacktrace
+    (Matcher.cpp:331-399): local rescan over the backtrace; gap-open is
+    charged once per gap run and NOT reset between adjacent I and D runs.
+    `q_seq`/`t_seq` are byte strings, `enc` a 256-entry byte->index table."""
+    max_score = max_bt_end = max_bt_start = 0
+    max_q_end = max_q_start = max_t_start = max_t_end = 0
+    min_pos = -1
+    min_q_pos = res.q_start - 1
+    min_t_pos = res.db_start - 1
+    score = 0
+    identical = 0
+    max_id_cnt = 0
+    q_pos, t_pos = res.q_start, res.db_start
+    gap_open_flag = False
+    bt = res.backtrace
+    for pos, letter in enumerate(bt):
+        if letter == "M":
+            qc, tc = q_seq[q_pos], t_seq[t_pos]
+            score += int(sub_matrix[enc[qc]][enc[tc]])
+            identical += int(qc == tc)
+            gap_open_flag = False
+        else:
+            score -= gap_ext if gap_open_flag else gap_open
+            gap_open_flag = True
+        if score <= 0:
+            score = 0
+            identical = 0
+            min_pos = pos
+            min_q_pos = q_pos - 1 if letter == "D" else q_pos
+            min_t_pos = t_pos - 1 if letter == "I" else t_pos
+        if score > max_score:
+            max_bt_end, max_q_end, max_t_end = pos, q_pos, t_pos
+            max_bt_start = min_pos + 1
+            max_q_start, max_t_start = min_q_pos + 1, min_t_pos + 1
+            max_score = score
+            max_id_cnt = identical
+        if letter in "MI":
+            q_pos += 1
+        if letter in "MD":
+            t_pos += 1
+    import numpy as np
+    res.q_start, res.q_end = max_q_start, max_q_end
+    res.db_start, res.db_end = max_t_start, max_t_end
+    res.score = int(evaluer.compute_bit_score(max_score))
+    res.eval = evaluer.compute_evalue(max_score, res.q_len)
+    res.aln_length = max_bt_end - max_bt_start + 1
+    res.seq_id = max_id_cnt / np.float32(res.aln_length) \
+        if res.aln_length else 0.0
+    res.backtrace = bt[max_bt_start:max_bt_start + res.aln_length]
+    return res

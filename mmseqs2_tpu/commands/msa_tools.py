@@ -4,6 +4,7 @@ Reference: src/util/result2msa.cpp (format modes 2/5/6),
 src/util/msa2profile.cpp (match-mode column masking + PSSM).
 """
 
+import os
 import numpy as np
 
 from ..align.aligner import Aligner, SCORE_COV_SEQID
@@ -90,7 +91,8 @@ def result2msa(par, command):
     num2aa = submat.num2aa
 
     with DBWriter(out_path, dbt.DBTYPE_MSA_DB) as w:
-        for i in range(res.size):
+        # LINEAR_ACCCESS iteration (result2msa.cpp:99): offset order
+        for i in (int(x) for x in np.argsort(res.offsets, kind="stable")):
             query_key = res.get_db_key(i)
             qid_local = qreader.get_id(query_key)
             q_num = qdb.seq_num(qid_local)
@@ -418,5 +420,266 @@ def profile2neff(par, command):
         else:
             writer.write(f"Neff_Ms of sequence {key}\n" + row)
     writer.close()
+    reader.close()
+    return 0
+
+
+def filtera3m(par, command):
+    """Filter an A3M flat file with the MsaFilter and write surviving
+    records (reference src/util/filtera3m.cpp). Lowercase insertion columns
+    are ignored for filtering but preserved in the output."""
+    from ..profile.msa import GAP as MSA_GAP
+
+    in_path, out_path = par.filenames[:2]
+    submat = get_sub_mat(par)
+    aa2num = submat.make_aa2num_table()
+    records = []
+    with open(in_path, "rb") as f:
+        name = None
+        seqp = []
+        for line in f:
+            if line.startswith(b">"):
+                if name is not None:
+                    records.append((name, b"".join(seqp)))
+                name = line[1:].rstrip(b"\n")
+                seqp = []
+            else:
+                seqp.append(line.strip())
+        if name is not None:
+            records.append((name, b"".join(seqp)))
+    if not records:
+        open(out_path, "w").close()
+        return 0
+    center_len = len(records[0][1])
+    rows = np.full((len(records), center_len), MSA_GAP, dtype=np.int32)
+    for k, (_, seq) in enumerate(records):
+        arr = np.frombuffer(seq, dtype=np.uint8)
+        arr = arr[~((arr >= ord("a")) & (arr <= ord("z")))][:center_len]
+        row = np.where(arr == ord("-"), MSA_GAP,
+                       aa2num[arr].astype(np.int32))
+        rows[k, :len(row)] = row
+    qid = int(float(par.qid.split(",")[0]) * 100)
+    kept, _ = msafilter.filter_msa(
+        rows, submat.sub_matrix, int(par.cov_msa_thr * 100), qid,
+        par.qsc, int(par.filter_max_seq_id * 100), par.n_diff,
+        par.filter_min_enable)
+    with open(out_path, "wb") as f:
+        for k in np.nonzero(kept)[0]:
+            name, seq = records[k]
+            f.write(b">" + name + b"\n" + seq + b"\n")
+    return 0
+
+
+def _rescore_backtrace(q_ascii, t_ascii, submat, aa2num, evaluer,
+                       gap_open, gap_ext, res):
+    """Delegates to align.util.rescore_backtrace (Matcher.cpp:331-399)."""
+    from ..align.util import rescore_backtrace
+    return rescore_backtrace(q_ascii.encode(), t_ascii.encode(),
+                             submat.make_aa2num_table(), submat.sub_matrix,
+                             evaluer, gap_open, gap_ext, res)
+
+
+def _msa_record_count(data: bytes) -> int:
+    """msa2result.cpp:84-118 prescan state machine over the entry INCLUDING
+    its '\\0' terminator — the terminator counts as a residue, so the result
+    is the true record count + 1 (a reference quirk the output keys bake in).
+    """
+    in_header = False
+    set_size = 0
+    seq_len = 0
+    for c in data + b"\0":
+        if c == 0x3E:  # '>'
+            seq_len = 0
+            in_header = True
+            set_size += 1
+        elif c == 0x0A:
+            in_header = False
+        elif not in_header:
+            seq_len += 1
+    if not in_header and seq_len > 0:
+        set_size += 1
+    return set_size
+
+
+def msa2result(par, command):
+    """Convert an MSA DB into a member sequence DB + per-member alignment
+    results against the MSA consensus (reference src/util/msa2result.cpp).
+    Member keys are running indices offset by the prescan record counts;
+    results are rescored along the gap-free consensus/member backtrace with
+    a bias -0.2 matrix and an MSA-count E-value context."""
+    from ..align.aligner import AlnResult
+    from ..align import util as autil
+    from ..data.submat import get_submat
+
+    in_path, seq_out, res_out = par.filenames[:3]
+    submat = get_submat(par.sub_mat.aa, 2.0, -0.2)
+    enc = submat.make_aa2num_table()
+    qid = int(float(par.qid.split(",")[0]) * 100)
+    reader = DBReader(in_path)
+    order = [int(x) for x in reader.linear_order()]
+    counts = [_msa_record_count(reader.get_data(i)) for i in order]
+    offsets = np.concatenate([[0], np.cumsum(counts[:-1])]) \
+        if counts else np.zeros(1)
+    evaluer = EvalueComputation(reader.size, submat,
+                                par.gap_open.aa, par.gap_extend.aa)
+    match_ratio = np.float32(par.match_ratio)
+
+    sw = DBWriter(seq_out, dbt.DBTYPE_AMINO_ACIDS,
+                  compressed=bool(par.compressed))
+    hw = DBWriter(seq_out + "_h", dbt.DBTYPE_GENERIC_DB,
+                  compressed=bool(par.compressed))
+    rw = DBWriter(res_out, dbt.DBTYPE_ALIGNMENT_RES,
+                  compressed=bool(par.compressed))
+    for oi, i in enumerate(order):
+        key = reader.get_db_key(i)
+        data = reader.get_data(i)
+        if par.msa_type == 0:
+            from ..profile.ca3m import extract_a3m
+            with DBReader(in_path + "_sequence.ffdata",
+                          in_path + "_sequence.ffindex") as sr, \
+                    DBReader(in_path + "_header.ffdata",
+                             in_path + "_header.ffindex") as hr:
+                data = extract_a3m(data, sr, hr)
+        if data.startswith(b"#"):
+            nl = data.find(b"\n")
+            data = data[nl + 1:] if nl >= 0 else b""
+        entries = _parse_fasta_msa(data)
+        if par.skip_query and entries:
+            entries = entries[1:]
+        start_key = int(offsets[oi])
+        rows = []
+        center_gap_len = 0
+        fasta_error = False
+        written = 0
+        for name, header, s in entries:
+            if not name or not s:
+                log.warning(f"Invalid fasta sequence {written} in entry "
+                            f"{key}")
+                fasta_error = True
+                break
+            if par.msa_type in (0, 1) and name.startswith(b"ss_"):
+                continue
+            hw.write(start_key + written, header + b"\n")
+            sw.write(start_key + written,
+                     bytes(c for c in s if c != ord("-")) + b"\n")
+            written += 1
+            if not rows:
+                center_gap_len = len(s)
+            arr = np.frombuffer(s, np.uint8)
+            if par.msa_type == 1:
+                arr = arr[~((arr >= ord("a")) & (arr <= ord("z")))]
+            arr = arr[:center_gap_len]
+            row = np.where(arr == ord("-"), np.int32(GAP),
+                           enc[arr].astype(np.int32))
+            rows.append(np.pad(row, (0, center_gap_len - len(row)),
+                               constant_values=GAP))
+        if fasta_error:
+            log.warning(f"Invalid msa {i}! Skipping entry.")
+            continue
+        if not rows:
+            log.warning(f"Empty msa {i}! Skipping entry.")
+            continue
+        msa = np.vstack(rows)
+        L_gap = center_gap_len
+        if par.match_mode == 0:
+            # reference reads uninitialized maskedColumns in this mode
+            # (msa2result.cpp:293-303 commented out) — treat as no masking
+            masked = np.zeros(L_gap, dtype=bool)
+        else:
+            w_ = pssmmod.normalize_to_1(pssmmod.compute_sequence_weights(msa))
+            X = msa.copy()
+            for k in range(len(X)):
+                j = 0
+                while j < L_gap and X[k, j] == GAP:
+                    X[k, j] = msamod.ENDGAP
+                    j += 1
+                j = L_gap - 1
+                while j >= 0 and X[k, j] == GAP:
+                    X[k, j] = msamod.ENDGAP
+                    j -= 1
+            res_w = np.zeros(L_gap, np.float32)
+            gap_w = np.zeros(L_gap, np.float32)
+            for k in range(len(X)):
+                res_w = (res_w + np.where(X[k] < GAP, w_[k],
+                                          np.float32(0))).astype(np.float32)
+                gap_w = (gap_w + np.where(X[k] == GAP, w_[k],
+                                          np.float32(0))).astype(np.float32)
+            with np.errstate(invalid="ignore"):
+                masked = (gap_w / (res_w + gap_w)) > match_ratio
+            masked = np.where(np.isnan(gap_w / (res_w + gap_w)), False,
+                              masked)
+        compact = msa[:, ~masked]
+        row_order = list(range(len(msa)))
+        if par.filter_msa == 1:
+            kept, _ = msafilter.filter_msa(
+                compact, submat.sub_matrix, int(par.cov_msa_thr * 100), qid,
+                par.qsc, int(par.filter_max_seq_id * 100), par.n_diff,
+                par.filter_min_enable)
+            pssm_in = compact[kept]
+            # MsaFilter::shuffleSequences swap-compacts kept rows to the
+            # front IN PLACE (MsaFilter.cpp:557-568); the result loop below
+            # then keys rows by their shuffled position — reproduce the
+            # exact swap permutation
+            i = 0
+            for j in range(len(row_order)):
+                if kept[j]:
+                    if i < j:
+                        row_order[i], row_order[j] = \
+                            row_order[j], row_order[i]
+                    i += 1
+        else:
+            pssm_in = compact
+        out = pssmmod.compute_pssm_from_msa(pssm_in, submat, par.wg)
+        consensus = bytes(out["consensus"])
+        lines = []
+        num2aa = submat.num2aa
+        for k, row_k in enumerate(row_order):
+            bt = []
+            cons_ng = []
+            curr_ng = []
+            n_ident = 0
+            cur_col = 0
+            for j in range(L_gap):
+                if masked[j]:
+                    con = "-"
+                else:
+                    con = chr(consensus[cur_col])
+                    cur_col += 1
+                v = int(msa[row_k, j])
+                sr = "-" if v == GAP else num2aa[v]
+                if con == "-" and sr == "-":
+                    continue
+                if con != "-" and sr == "-":
+                    bt.append("I")
+                    cons_ng.append(con)
+                elif con == "-":
+                    bt.append("D")
+                    curr_ng.append(sr)
+                else:
+                    bt.append("M")
+                    curr_ng.append(sr)
+                    cons_ng.append(con)
+                n_ident += int(con == sr)
+            bts = "".join(bt)
+            cons_s = "".join(cons_ng)
+            curr_s = "".join(curr_ng)
+            res = AlnResult(
+                db_key=start_key + k, score=0, raw_score=0,
+                seq_id=n_ident / np.float32(len(bts)) if bts else 0.0,
+                eval=0.0, q_start=0, q_end=len(cons_s) - 1,
+                q_len=len(cons_s), db_start=0, db_end=len(curr_s) - 1,
+                db_len=len(curr_s), aln_length=len(bts), backtrace=bts)
+            _rescore_backtrace(cons_s, curr_s, submat, submat.aa2num,
+                               evaluer, par.gap_open.aa, par.gap_extend.aa,
+                               res)
+            lines.append(autil.result_to_line(res, True))
+        rw.write(key, "".join(lines).encode())
+    rw.close()
+    hw.close()
+    sw.close()
+    for suf in (".lookup", ".source"):
+        if os.path.exists(in_path + suf) and \
+                not os.path.lexists(seq_out + suf):
+            os.symlink(os.path.abspath(in_path + suf), seq_out + suf)
     reader.close()
     return 0

@@ -489,3 +489,161 @@ def translatenucs(par, command):
             import shutil
             shutil.copyfile(src, dst)
     return 0
+
+
+def result2dnamsa(par, command):
+    """Build a DNA MSA DB from nucleotide alignment results
+    (reference src/util/result2dnamsa.cpp): query written verbatim,
+    each hit rendered gap-padded in query coordinates, minus-strand hits
+    complemented."""
+    qdb, tdb, resdb, out = par.filenames[:4]
+    same_db = qdb == tdb
+    q = DBReader(qdb)
+    qh = DBReader(qdb + "_h")
+    t = q if same_db else DBReader(tdb)
+    th = qh if same_db else DBReader(tdb + "_h")
+    res = DBReader(resdb)
+    with DBWriter(out, dbt.DBTYPE_MSA_DB,
+                  compressed=bool(par.compressed)) as w:
+        for i in (int(x) for x in np.argsort(res.offsets, kind="stable")):
+            query_key = res.get_db_key(i)
+            qid = q.get_id(query_key)
+            entry = bytearray()
+            if not par.skip_query:
+                entry += b">" + qh.get_data(qid)
+                entry += q.get_data(qid)
+            for line in res.get_data(i).split(b"\n"):
+                if not line:
+                    continue
+                f = line.split(b"\t")
+                db_key = fast_atoi(f[0])
+                q_start, q_end, q_len = int(f[4]), int(f[5]), int(f[6])
+                db_start, db_end = int(f[7]), int(f[8])
+                from .convertalis import expand_cigar
+                # backtrace at col 10 (11-col) or col 14 (ORF 15-col records)
+                bt_col = 14 if len(f) >= 15 else 10
+                bt = expand_cigar(f[bt_col].decode()) \
+                    if len(f) > bt_col else ""
+                tid = t.get_id(db_key)
+                entry += b">" + th.get_data(tid)
+                tseq = t.get_data(tid)
+                q_rev = q_start > q_end
+                t_rev = db_start > db_end
+                reverse_strand = False
+                if q_rev and t_rev:
+                    db_start, db_end = db_end, db_start
+                    bt = bt[::-1]
+                elif q_rev:
+                    reverse_strand = True
+                    db_start, db_end = db_end, db_start
+                    bt = bt[::-1]
+                elif t_rev:
+                    reverse_strand = True
+                out_row = bytearray(b"-" * min(q_start, q_end))
+                seq_pos = 0
+                for op in bt:
+                    if op == "M":
+                        c = tseq[db_start - seq_pos] if reverse_strand \
+                            else tseq[db_start + seq_pos]
+                        if reverse_strand:
+                            c = bytes([c]).translate(COMPLEMENT)[0]
+                        out_row.append(c)
+                        seq_pos += 1
+                    elif op == "I":
+                        out_row += b"-"
+                    else:  # D
+                        seq_pos += 1
+                out_row += b"-" * (q_len - (max(q_start, q_end) + 1))
+                entry += bytes(out_row) + b"\n"
+            w.write(query_key, bytes(entry))
+    for r in {id(q): q, id(qh): qh, id(t): t, id(th): th, id(res): res
+              }.values():
+        r.close()
+    return 0
+
+
+def proteinaln2nucl(par, command):
+    """Transform a protein-level alignment DB back to nucleotide
+    coordinates, rescoring with the nucleotide matrix
+    (reference src/util/proteinaln2nucl.cpp: coordinates *3, gap cost
+    go + (cnt-1)*3*ge, backtrace run lengths *3, uncompressed output)."""
+    from ..data.submat import get_submat
+    from ..ops.evalue import EvalueComputation
+
+    nq, nt, aq, at_, alnp, out = par.filenames[:6]
+    same_db = nq == nt and aq == at_
+    qn = DBReader(nq)
+    tn = qn if same_db else DBReader(nt)
+    qa = DBReader(aq)
+    ta = qa if same_db else DBReader(at_)
+    submat = get_submat(par.sub_mat.nucl, 1.0, 0.0)
+    aa2num = submat.make_aa2num_table()
+    S = submat.sub_matrix
+    go, ge = par.gap_open.nucl, par.gap_extend.nucl
+    evaluer = EvalueComputation(tn.total_residues(), submat, go, ge)
+    aln = DBReader(alnp)
+    with DBWriter(out, dbt.DBTYPE_ALIGNMENT_RES,
+                  compressed=bool(par.compressed)) as w:
+        for i in (int(x) for x in np.argsort(aln.offsets, kind="stable")):
+            aln_key = aln.get_db_key(i)
+            qid = qn.get_id(aln_key)
+            if qid < 0:
+                log.die(f"Invalid nucleotide query key {aln_key}.")
+            nuc_q = qn.get_data(qid)
+            nuc_q_len = qn.get_seq_len(qid)
+            q_start_codon = qa.get_data_by_key(aln_key)[:1] == b"*"
+            lines = []
+            for line in aln.get_data(i).split(b"\n"):
+                if not line:
+                    continue
+                f = line.split(b"\t")
+                db_key = fast_atoi(f[0])
+                q_start, q_end = int(f[4]), int(f[5])
+                db_start, db_end = int(f[7]), int(f[8])
+                bt = f[10].decode() if len(f) > 10 else ""
+                if not bt:
+                    log.die("This module only supports database input "
+                            "with backtrace string")
+                tid = tn.get_id(db_key)
+                if tid < 0:
+                    log.die(f"Invalid nucleotide target key {db_key}.")
+                nuc_t = tn.get_data(tid)
+                nuc_t_len = tn.get_seq_len(tid)
+                t_start_codon = ta.get_data_by_key(db_key)[:1] == b"*"
+                db_start = db_start * 3 + (-3 if t_start_codon else 0)
+                db_end = db_end * 3 + 2 + (-3 if t_start_codon else 0)
+                q_start = q_start * 3 + (-3 if q_start_codon else 0)
+                q_end = q_end * 3 + 2 + (-3 if q_start_codon else 0)
+                id_cnt = aln_len = 0
+                q_pos, t_pos = q_start, db_start
+                score = 0
+                new_bt = []
+                import re as _re
+                for cnt_s, op in _re.findall(r"(\d*)([MID])", bt):
+                    cnt = int(cnt_s) if cnt_s else 0
+                    if op == "M":
+                        for _ in range(cnt * 3):
+                            id_cnt += int(nuc_q[q_pos] == nuc_t[t_pos])
+                            score += int(S[aa2num[nuc_q[q_pos]],
+                                           aa2num[nuc_t[t_pos]]])
+                            q_pos += 1
+                            t_pos += 1
+                    elif op == "D":
+                        t_pos += cnt * 3
+                        score -= go + ((cnt - 1) * 3) * ge
+                    else:
+                        q_pos += cnt * 3
+                        score -= go + ((cnt - 1) * 3) * ge
+                    aln_len += cnt * 3
+                    new_bt.append(f"{cnt * 3}{op}")
+                from ..align import util as autil
+                bits = int(evaluer.compute_bit_score(score))
+                ev = evaluer.compute_evalue(score, nuc_q_len)
+                seq_id = id_cnt / np.float32(aln_len)
+                lines.append("\t".join([
+                    str(db_key), str(bits), autil.fast_seq_id_str(seq_id),
+                    autil.format_evalue(ev), str(q_start), str(q_end),
+                    str(nuc_q_len), str(db_start), str(db_end),
+                    str(nuc_t_len), "".join(new_bt)]) + "\n")
+            w.write(aln_key, "".join(lines).encode())
+    return 0

@@ -174,3 +174,82 @@ def mask_profile(pssm: np.ndarray, q_num: np.ndarray, submat) -> np.ndarray:
     out = pssm.copy()
     out[masked[0] == x_idx] = -1
     return out
+
+
+def filterresult(par, command):
+    """MSA-filter an alignment result DB and write back the surviving hits
+    (reference src/util/result2profile.cpp:336-338 filterresult =
+    result2profile(returnAlnRes=true): no E-value gate, the MsaFilter always
+    runs, output = filtered hits as 11-column records)."""
+    from .expandaln import Rec
+
+    qdb_path, tdb_path, res_path, out_path = par.filenames[:4]
+    same_db = qdb_path == tdb_path
+    submat = get_sub_mat(par)
+    qreader = open_seq_db(qdb_path)
+    treader = qreader if same_db else open_seq_db(tdb_path)
+    qdb = EncodedDB(qreader, submat)
+    tdb = qdb if same_db else EncodedDB(treader, submat)
+    res = DBReader(res_path)
+
+    evaluer = EvalueComputation(treader.total_residues(), submat,
+                                par.gap_open.aa, par.gap_extend.aa)
+    aligner = Aligner(submat, par.gap_open.aa, par.gap_extend.aa, evaluer,
+                      par.comp_bias_corr, par.comp_bias_corr_scale)
+    qid = int(float(par.qid.split(",")[0]) * 100)
+    query_is_profile = qreader.base_type == dbt.DBTYPE_HMM_PROFILE
+    with DBWriter(out_path, dbt.DBTYPE_ALIGNMENT_RES,
+                  compressed=bool(par.compressed)) as writer:
+        # LINEAR_ACCCESS iteration (result2profile.cpp:45): offset order
+        for i in (int(x) for x in np.argsort(res.offsets, kind="stable")):
+            query_key = res.get_db_key(i)
+            qid_local = qreader.get_id(query_key)
+            if qid_local < 0:
+                log.warning(f"Invalid query sequence {query_key}")
+                continue
+            if query_is_profile:
+                from ..profile.io import parse_profile
+                prof_entry = parse_profile(qreader.get_data(qid_local))
+                q_num = prof_entry.query_num.astype(np.int64)
+                ctx = aligner.init_profile_query(prof_entry)
+            else:
+                q_num = qdb.seq_num(qid_local)
+                ctx = aligner.init_query(q_num)
+            out_lines = []
+            hits = []
+            need_aln = []
+            for line in res.get_data(i).split(b"\n"):
+                if not line:
+                    continue
+                parts = line.split(b"\t")
+                key = fast_atoi(parts[0])
+                if key == query_key and same_db:
+                    if par.include_identity:
+                        out_lines.append(Rec.parse(parts).to_line(True))
+                    continue
+                r = Rec.parse(parts)
+                if not r.backtrace:
+                    need_aln.append(len(hits))
+                hits.append(r)
+            if need_aln:
+                keys = [hits[k].db_key for k in need_aln]
+                tids = [treader.get_id(k) for k in keys]
+                results = aligner.align_query(
+                    ctx, keys, [tdb.seq_num(t) for t in tids],
+                    [tdb.seq_len(t) for t in tids], [False] * len(keys),
+                    SCORE_COV_SEQID, 0, 0.0, np.finfo(np.float64).max)
+                for k, r2 in zip(need_aln, results):
+                    hits[k] = r2
+            edge_seqs = [tdb.seq_num(treader.get_id(h.db_key)) for h in hits]
+            msa = msamod.compute_msa_nodel(q_num, edge_seqs, hits)
+            kept, _ = msafilter.filter_msa(
+                msa, submat.sub_matrix, int(par.cov_msa_thr * 100), qid,
+                par.qsc, int(par.filter_max_seq_id * 100), par.n_diff,
+                par.filter_min_enable)
+            for row in np.nonzero(kept)[0]:
+                if row == 0:
+                    continue
+                out_lines.append(hits[row - 1].to_line(True))
+            writer.write(query_key, "".join(out_lines).encode())
+    res.close()
+    return 0

@@ -166,7 +166,12 @@ class EvalueComputation:
         return p1 * p2 + c * P_mF * P_nF
 
     def evalue_per_area(self, score: float) -> float:
-        return self.K * math.exp(-self.lambda_ * score)
+        # C exp() overflows to +inf for very negative scores (glibc
+        # HUGE_VAL); the reference then prints "INF" via %.3E
+        try:
+            return self.K * math.exp(-self.lambda_ * score)
+        except OverflowError:
+            return math.inf
 
     def compute_evalue(self, score: float, seq_len: float) -> float:
         return self.evalue_per_area(score) * self.area(score, seq_len)
