@@ -144,6 +144,14 @@ _A("--add-self-matches", "include_identity", bool, False,
 _A("--spaced-kmer-mode", "spaced_kmer_mode", int, 1, "spaced k-mer pattern")
 _A("--spaced-kmer-pattern", "spaced_kmer_pattern", str, "", "custom pattern")
 _A("--taxon-list", "taxon_list", str, "", "taxonomy filter expression")
+_A("--pairing-dummy-mode", "pairdummymode", int, 0,
+   "0: dont include, 1: include dummy pairing entry")
+_A("--pairing-mode", "pairmode", int, 0,
+   "0: pair maximal per species, 1: pair only if all chains covered")
+_A("--pairing-filter", "pairfilter", int, 0,
+   "filter hits by 0: top hit, 1: pair by proximity of IDs")
+_A("--pairing-prox-dist", "pair_proximity_distance", int, 20,
+   "proximity distance threshold for pairing (--pairing-filter 1)")
 _A("--prefilter-mode", "prefilter_mode", int, 0,
    "0: kmer, 1: ungapped, 2: exhaustive, 3: ungapped+gapped")
 _A("--target-search-mode", "target_search_mode", int, 0, "target search mode")
