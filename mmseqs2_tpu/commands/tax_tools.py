@@ -418,3 +418,153 @@ def easy_taxonomy(par, command):
     if par.remove_tmp_files:
         wf.cleanup(True)
     return 0
+
+
+# -- aggregatetax / aggregatetaxweights (src/taxonomy/aggregatetax.cpp) ---------
+
+
+def _aggregate(par, use_aln: bool):
+    """Aggregate per-sequence taxon assignments to per-set labels via
+    weighted majority LCA (aggregatetax.cpp:15-191). Output columns:
+    taxid, rank, name, totalSeqs, assignedSeqs, agreeingSeqs, percent
+    [+ranks] [+lineage]."""
+    tax_db = par.filenames[0]
+    set_to_seq_path = par.filenames[1]
+    tax_seq_path = par.filenames[2]
+    if use_aln:
+        aln_path, out_path = par.filenames[3], par.filenames[4]
+        aln = DBReader(aln_path)
+    else:
+        aln, out_path = None, par.filenames[3]
+    t = NcbiTaxonomy.open_taxonomy(tax_db)
+    sets = DBReader(set_to_seq_path)
+    tax_seq = DBReader(tax_seq_path)
+    ranks = parse_ranks(par.lca_ranks)
+    order = np.argsort(sets.offsets, kind="stable")
+    with DBWriter(out_path, dbt.DBTYPE_TAXONOMICAL_RESULT,
+                  compressed=bool(par.compressed)) as w:
+        for i in order:
+            set_key = sets.get_db_key(int(i))
+            set_taxa = []
+            for line in sets.get_data(int(i)).split(b"\n"):
+                if not line:
+                    continue
+                seq_key = fast_atoi(line.split(b"\t")[0])
+                sid = tax_seq.get_id(seq_key)
+                if sid < 0:
+                    log.die(f"Missing key {seq_key} in tax result")
+                taxon = fast_atoi(tax_seq.get_data(sid))
+                if use_aln and taxon != 0:
+                    aid = aln.get_id(seq_key)
+                    if aid < 0:
+                        log.die(f"Missing key {seq_key} in alignment "
+                                f"result")
+                    cols = aln.get_data(aid).split(b"\n")[0].split(b"\t")
+                    weight = float(FLT_MAX)
+                    if par.vote_mode == 1:      # AGG_TAX_MINUS_LOG_EVAL
+                        if len(cols) <= 3:
+                            log.die(f"No alignment evalue for taxon "
+                                    f"{taxon} found")
+                        weight = float(cols[3])
+                    elif par.vote_mode == 2:    # AGG_TAX_SCORE
+                        if len(cols) <= 1:
+                            log.die(f"No alignment score for taxon "
+                                    f"{taxon} found")
+                        weight = float(cols[1])
+                    set_taxa.append((taxon, _weight_of(weight,
+                                                       par.vote_mode)))
+                else:
+                    set_taxa.append((taxon, 1.0))
+            sel, assigned, unassigned, agree, percent = \
+                t.weighted_majority_lca(set_taxa, par.majority_thr)
+            node = t.taxon_node(sel) if sel else None
+            total = assigned + unassigned
+            pct = math.floor(float(np.float32(percent)) * 100 + 0.5) / 100
+            if sel == 0 or node is None:
+                out = (f"0\tno rank\tunclassified\t{total}\t{assigned}"
+                       f"\t{agree}\t{pct:.3f}")
+                if ranks:
+                    out += "\t"
+                if par.tax_lineage > 0:
+                    out += "\t"
+            else:
+                out = (f"{node.tax_id}\t{node.rank}\t{node.name}\t{total}"
+                       f"\t{assigned}\t{agree}\t{pct:.3f}")
+                if ranks:
+                    out += "\t" + ";".join(t.at_ranks(node, ranks))
+                if par.tax_lineage == 1:
+                    out += "\t" + t.tax_lineage(node, True)
+                elif par.tax_lineage == 2:
+                    out += "\t" + t.tax_lineage(node, False)
+            w.write(set_key, (out + "\n").encode())
+    return 0
+
+
+def aggregatetax(par, command):
+    return _aggregate(par, False)
+
+
+def aggregatetaxweights(par, command):
+    return _aggregate(par, True)
+
+
+def filtertaxseqdb(par, command):
+    """Retain sequence-DB entries whose taxon satisfies --taxon-list
+    (src/taxonomy/filtertaxseqdb.cpp:14-90); ancillary files are
+    symlinked like DBReader::softlinkDb(SEQUENCE_ANCILLARY)."""
+    from ..taxonomy.ncbi import TaxonomyExpression
+
+    db, out = par.filenames[:2]
+    t = NcbiTaxonomy.open_taxonomy(db)
+    mapping = MappingReader(db)
+    expr = TaxonomyExpression(par.taxon_list, t)
+    reader = DBReader(db)
+    with DBWriter(out, reader.base_type, reader.extended_type,
+                  compressed=bool(par.compressed)) as w:
+        for i in (int(x) for x in np.argsort(reader.offsets,
+                                             kind="stable")):
+            key = reader.get_db_key(i)
+            if expr.is_ancestor(int(mapping.lookup(key))):
+                w.write(key, reader.get_data(i))
+    reader.close()
+    for suf in ("_h", "_h.index", "_h.dbtype", ".lookup", ".source",
+                "_mapping", "_names.dmp", "_nodes.dmp", "_merged.dmp",
+                "_taxonomy"):
+        src, dst = db + suf, out + suf
+        if os.path.exists(src) and not os.path.exists(dst):
+            os.symlink(os.path.abspath(src), dst)
+    return 0
+
+
+def createbintaxonomy(par, command):
+    """Serialize names/nodes/merged dmp files into the binary taxonomy
+    format (src/taxonomy/createbintaxonomy.cpp:6-20)."""
+    from ..taxonomy.ncbi import serialize_taxonomy
+
+    names, nodes, merged, out = par.filenames[:4]
+    with open(out, "wb") as f:
+        f.write(serialize_taxonomy(names, nodes, merged))
+    return 0
+
+
+def createdmptaxonomy(par, command):
+    """Dump a taxonomy DB back to NCBI-style dmp files
+    (src/taxonomy/createbintaxonomy.cpp:22-110)."""
+    tax_db, out = par.filenames[:2]
+    t = NcbiTaxonomy.open_taxonomy(tax_db)
+    max_tax = max(max(t.nodes, default=0), max(t.alias, default=0))
+    with open(out + "_nodes.dmp", "w") as nodes_fp, \
+            open(out + "_names.dmp", "w") as names_fp, \
+            open(out + "_merged.dmp", "w") as merged_fp:
+        for i in range(max_tax + 1):
+            if i in t.alias:
+                merged_fp.write(f"{i}\t|\t{t.alias[i]}\t|\n")
+                continue
+            node = t.nodes.get(i)
+            if node is None:
+                continue
+            nodes_fp.write(f"{node.tax_id}\t|\t{node.parent_tax_id}\t|"
+                           f"\t{node.rank}\t|\t\n")
+            names_fp.write(f"{node.tax_id}\t|\t{node.name}\t|\t\t|"
+                           f"\tscientific name\t|\n")
+    return 0

@@ -7,6 +7,7 @@ read; databases created with --tax-db-mode 0 (dmp files kept) work.
 """
 
 import os
+import struct
 
 import numpy as np
 
@@ -88,8 +89,7 @@ class NcbiTaxonomy:
     @classmethod
     def open_taxonomy(cls, db: str) -> "NcbiTaxonomy":
         if os.path.exists(db + "_taxonomy"):
-            log.die(f"{db}_taxonomy binary serialization is not supported; "
-                    f"recreate the taxonomy database with --tax-db-mode 0")
+            return load_binary_taxonomy(db + "_taxonomy")
         for suf in ("_nodes.dmp", "_names.dmp"):
             if not os.path.exists(db + suf):
                 log.die(f"Missing taxonomy file {db}{suf}")
@@ -352,3 +352,219 @@ class TaxonomyExpression:
             return self.t.is_ancestor(self.single, taxon)
         return bool(eval(self.expr, {"__builtins__": {}},
                          {"A": lambda a: self.t.is_ancestor(a, taxon)}))
+
+
+# -- binary taxonomy serialization (NcbiTaxonomy.cpp:752-827) -------------------
+
+_SERIALIZATION_VERSION = 2
+_NODE_DTYPE = np.dtype([("id", "<i4"), ("taxId", "<i4"),
+                        ("parentTaxId", "<i4"), ("_pad", "<i4"),
+                        ("rankIdx", "<u8"), ("nameIdx", "<u8")])
+
+
+def _flog2(x: int) -> int:
+    return max(x.bit_length() - 1, 0)
+
+
+def serialize_taxonomy(names_file: str, nodes_file: str,
+                       merged_file: str) -> bytes:
+    """Build the reference's `<db>_taxonomy` binary (version 2): header,
+    TaxonNode array, D taxid->node map, Euler tour E/L/H, RMQ sparse table
+    M, and the compacted string block (NcbiTaxonomy::serialize,
+    NcbiTaxonomy.cpp:752-793 + StringBlock.h:58-113)."""
+    strings = []          # StringBlock entries in append order
+
+    def append_str(s: str) -> int:
+        strings.append(s.encode())
+        return len(strings) - 1
+
+    def split_dmp(line: str, max_col: int):
+        # splitByDelimiter (NcbiTaxonomy.cpp:91-104): the last column keeps
+        # any trailing "\t|" when the line has no further delimiter
+        out = []
+        prev = 0
+        i = 0
+        while True:
+            pos = line.find("\t|\t", prev)
+            if pos == -1:
+                pos = len(line)
+            out.append(line[prev:pos])
+            prev = pos + 3
+            i += 1
+            if not (pos < len(line) and prev < len(line) and i < max_col):
+                return out
+
+    tax_ids, parents, rank_idx = [], [], []
+    max_tax_id = 0
+    with open(nodes_file) as f:
+        for line in f:
+            parts = split_dmp(line.rstrip("\n"), 3)
+            tax_ids.append(int(parts[0]))
+            parents.append(int(parts[1]))
+            rank_idx.append(append_str(parts[2]))
+            max_tax_id = max(max_tax_id, tax_ids[-1])
+    n = len(tax_ids)
+    id_of = {t: i for i, t in enumerate(tax_ids)}
+    # merged: only ids absent from nodes mapping to present ids
+    merged = {}
+    if os.path.exists(merged_file):
+        with open(merged_file) as f:
+            for line in f:
+                parts = [p.strip() for p in line.split("|") if p.strip()]
+                if len(parts) >= 2:
+                    old, new = int(parts[0]), int(parts[1])
+                    if old not in id_of and new in id_of:
+                        merged[old] = new
+                        max_tax_id = max(max_tax_id, old, new)
+    name_idx = [0xFFFFFFFFFFFFFFFF] * n
+    with open(names_file) as f:
+        for line in f:
+            if "scientific name" not in line:
+                continue
+            parts = split_dmp(line.rstrip("\n"), 2)
+            t = int(parts[0])
+            if t in id_of:
+                name_idx[id_of[t]] = append_str(parts[1])
+    D = np.full(max_tax_id + 1, -1, dtype=np.int32)
+    for t, i in id_of.items():
+        D[t] = i
+    for old, new in merged.items():
+        D[old] = id_of[new]
+    # Euler tour (NcbiTaxonomy::elh)
+    children = [[] for _ in range(n)]
+    for i, t in enumerate(tax_ids):
+        if parents[i] != t:
+            children[D[parents[i]]].append(t)
+    H = np.zeros(n, dtype=np.int32)
+    E, L = [], []
+
+    def elh(tax_id, level):
+        # iterative DFS matching the recursive reference order
+        stack = [(tax_id, level, 0)]
+        while stack:
+            t, lv, ci = stack.pop()
+            i = D[t]
+            if ci == 0:
+                if H[i] == 0:
+                    H[i] = len(E)
+                E.append(int(i))
+                L.append(lv)
+            ch = children[i]
+            if ci < len(ch):
+                stack.append((t, lv, ci + 1))
+                stack.append((ch[ci], lv + 1, 0))
+            else:
+                E.append(int(D[parents[i]]))
+                L.append(lv - 1)
+
+    elh(ROOT_TAXID, 0)
+    E = np.array((E + [0] * (2 * n))[:2 * n], dtype=np.int32)
+    L = np.array((L + [0] * (2 * n))[:2 * n], dtype=np.int32)
+    # sparse table
+    dim = 2 * n
+    k = _flog2(dim) + 1
+    M = np.zeros((dim, k), dtype=np.int32)
+    M[:, 0] = np.arange(dim, dtype=np.int32)
+    col = 1
+    while (1 << col) <= dim:
+        half = 1 << (col - 1)
+        span = 1 << col
+        rows = dim - span + 1
+        a = M[:rows, col - 1]
+        b = M[half:half + rows, col - 1]
+        M[:rows, col] = np.where(L[a] < L[b], a, b)
+        col += 1
+    # compact string block (StringBlock::compact): lexicographic sort,
+    # dedup, re-layout in sorted order
+    order = sorted(range(len(strings)), key=lambda i: strings[i])
+    new_off = [0] * len(strings)
+    data = bytearray()
+    prev = None
+    for i in order:
+        s = strings[i]
+        if prev is not None and s == strings[prev]:
+            new_off[i] = new_off[prev]
+        else:
+            new_off[i] = len(data)
+            data += s + b"\0"
+        prev = i
+    nodes_arr = np.zeros(n, dtype=_NODE_DTYPE)
+    nodes_arr["id"] = np.arange(n, dtype=np.int32)
+    nodes_arr["taxId"] = tax_ids
+    nodes_arr["parentTaxId"] = parents
+    nodes_arr["rankIdx"] = rank_idx
+    nodes_arr["nameIdx"] = name_idx
+    out = bytearray()
+    out += struct.pack("<i", _SERIALIZATION_VERSION)
+    out += struct.pack("<Q", n)
+    out += struct.pack("<i", max_tax_id)
+    out += nodes_arr.tobytes()
+    out += D.tobytes()
+    out += E.tobytes()
+    out += L.tobytes()
+    out += H.tobytes()
+    out += M.tobytes()
+    out += struct.pack("<Q", len(data))          # byteCapacity
+    out += struct.pack("<I", len(strings))       # entryCapacity (u32 T)
+    out += struct.pack("<I", len(strings))       # entryCount
+    out += bytes(data)
+    out += np.array(new_off, dtype=np.uint32).tobytes()
+    return bytes(out)
+
+
+def load_binary_taxonomy(path: str) -> "NcbiTaxonomy":
+    """Parse a reference `<db>_taxonomy` binary into an NcbiTaxonomy
+    (NcbiTaxonomy::unserialize, NcbiTaxonomy.cpp:795-827)."""
+    mem = open(path, "rb").read()
+    off = 0
+    version = struct.unpack_from("<i", mem, off)[0]
+    off += 4
+    if version != _SERIALIZATION_VERSION:
+        log.die(f"Outdated taxonomy database {path} (version {version}); "
+                f"recreate with createtaxdb")
+    n = struct.unpack_from("<Q", mem, off)[0]
+    off += 8
+    max_tax_id = struct.unpack_from("<i", mem, off)[0]
+    off += 4
+    nodes_arr = np.frombuffer(mem, _NODE_DTYPE, n, off)
+    off += n * _NODE_DTYPE.itemsize
+    D = np.frombuffer(mem, np.int32, max_tax_id + 1, off)
+    off += 4 * (max_tax_id + 1)
+    off += 4 * (2 * n) * 2 + 4 * n          # skip E, L, H
+    dim = 2 * n
+    k = _flog2(dim) + 1
+    off += 4 * dim * k                       # skip M
+    byte_cap = struct.unpack_from("<Q", mem, off)[0]
+    off += 8
+    entry_cap = struct.unpack_from("<I", mem, off)[0]
+    off += 4
+    entry_count = struct.unpack_from("<I", mem, off)[0]
+    off += 4
+    data = mem[off:off + byte_cap]
+    off += byte_cap
+    offsets = np.frombuffer(mem, np.uint32, entry_cap, off)
+
+    def get_str(idx):
+        if idx >= entry_count:
+            return ""
+        start = int(offsets[idx])
+        end = data.find(b"\0", start)
+        return data[start:end].decode("utf-8", "replace")
+
+    t = NcbiTaxonomy.__new__(NcbiTaxonomy)
+    t.nodes = {}
+    t.alias = {}
+    for i in range(n):
+        row = nodes_arr[i]
+        nm = ("" if int(row["nameIdx"]) == 0xFFFFFFFFFFFFFFFF
+              else get_str(int(row["nameIdx"])))
+        t.nodes[int(row["taxId"])] = TaxonNode(
+            int(row["taxId"]), int(row["parentTaxId"]),
+            get_str(int(row["rankIdx"])), nm)
+    tax_of_node = nodes_arr["taxId"]
+    present = np.nonzero(D >= 0)[0]
+    for tax in present.tolist():
+        real = int(tax_of_node[D[tax]])
+        if real != tax:
+            t.alias[tax] = real
+    return t
