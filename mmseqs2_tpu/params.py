@@ -298,6 +298,14 @@ _A("--comparison-value", "comparison_value", float, 0.0, "comparison value")
 _A("--filter-regex", "filter_regex", str, "^.*$", "regex to select column")
 _A("--positive-filter", "positive_filter", bool, True,
    "with --filter-file: keep matching lines (else drop them)")
+_A("--identifier-field", "identifier_field", int, 1,
+   "STOCKHOLM field for the MSA identifier: 0: ID, 1: AC")
+_A("--kb-columns", "kb_columns", str, "",
+   "list of UniProtKB columns to extract")
+_A("--pc-mode", "pc_mode", int, 0,
+   "pseudo count mode: 0 substitution-score, 1 context-specific")
+_A("--id-list", "id_list", str, "",
+   "comma-separated database keys for appenddbtoindex")
 _A("--mapping-file", "mapping_file", str, "",
    "rewrite the filter column by a key->value mapping file")
 _A("--extract-lines", "extract_lines", int, 0, "extract first N lines")
