@@ -215,3 +215,174 @@ def cluster(par, command):
     if par.remove_tmp_files:
         wf.cleanup(True)
     return 0
+
+
+def clusterupdate(par, command):
+    """Incremental clustering update
+    (reference data/workflow/update_clustering.sh + ClusterUpdate.cpp):
+    diff the old and new sequence DBs, remap new keys past the old key
+    space, attach new sequences to existing clusters by searching against
+    representatives, and cluster the leftovers separately."""
+    old_db, new_db, old_clust, new_map_db, new_clust, tmp = \
+        par.filenames[:6]
+    if not par.was_set("alignment_mode"):
+        par.set("alignment_mode", 3)  # setClusterUpdateDefaults
+    wf = Workflow(tmp, par.force_reuse)
+    removed = wf.path("removedSeqs")
+    mapping = wf.path("mappingSeqs")
+    new_seqs = wf.path("newSeqs")
+    if not os.path.exists(removed):
+        wf.step_always("diffseqdbs", [old_db, new_db, removed, mapping,
+                                      new_seqs], par)
+    if os.path.getsize(mapping) == 0:
+        log.warning(
+            f"There are no common sequences between {old_db} and "
+            f"{new_db}.\nIf you aim to add the sequences of {new_db} to "
+            f"your previous clustering {old_clust}, concatdbs both DBs "
+            f"and rerun clusterupdate.")
+        for f in (removed, mapping, new_seqs):
+            if os.path.exists(f):
+                os.unlink(f)
+        return 1
+
+    def read_col(path, col=0):
+        out = []
+        with open(path) as f:
+            for line in f:
+                if line.strip():
+                    out.append(line.split()[col])
+        return out
+
+    if os.path.getsize(removed) > 0:
+        if par.recover_deleted:
+            rm_map = wf.path("OLDDB.removedMapping")
+            if not os.path.exists(rm_map):
+                highest = max(int(l.split("\t")[0]) for l in
+                              open(new_db + ".index"))
+                with open(rm_map, "w") as f, open(mapping, "a") as m:
+                    for i, key in enumerate(read_col(removed)):
+                        f.write(f"{key}\t{highest + 1 + i}\n")
+                        m.write(f"{key}\t{highest + 1 + i}\n")
+            wf.step(wf.path("OLDDB.removedDb"), "renamedbkeys",
+                    [rm_map, old_db, wf.path("OLDDB.removedDb"),
+                     "--subdb-mode", 1], par)
+            wf.step(wf.path("NEWDB.withOld"), "concatdbs",
+                    [new_db, wf.path("OLDDB.removedDb"),
+                     wf.path("NEWDB.withOld"), "--preserve-keys", 1,
+                     "--threads", 1], par)
+            wf.step(wf.path("NEWDB.withOld_h"), "concatdbs",
+                    [new_db + "_h", wf.path("OLDDB.removedDb_h"),
+                     wf.path("NEWDB.withOld_h"), "--preserve-keys", 1,
+                     "--threads", 1], par)
+            new_db = wf.path("NEWDB.withOld")
+        else:
+            wf.step(wf.path("REMOVEDMEMBERS"), "createsubdb",
+                    [removed, old_clust, wf.path("REMOVEDMEMBERS"),
+                     "--subdb-mode", 0], par)
+            wf.step(wf.path("REMOVEDMEMBERS.withoutDeleted"), "filterdb",
+                    [wf.path("REMOVEDMEMBERS"),
+                     wf.path("REMOVEDMEMBERS.withoutDeleted"),
+                     "--filter-file", removed, "--positive-filter", 0],
+                    par)
+            tsv = wf.path("REMOVEDMEMBERS.tsv")
+            if not os.path.exists(tsv):
+                wf.step_always(
+                    "prefixid",
+                    [wf.path("REMOVEDMEMBERS.withoutDeleted"),
+                     wf.path("REMOVEDMEMBERS.withoutDeleted.tsv"),
+                     "--tsv", 1], par)
+                with open(tsv, "w") as f:
+                    for tok in read_col(
+                            wf.path("REMOVEDMEMBERS.withoutDeleted.tsv"),
+                            1):
+                        f.write(tok + "\n")
+            wf.step(wf.path("OLCLUST.withoutDeletedKeys"), "createsubdb",
+                    [mapping, old_clust,
+                     wf.path("OLCLUST.withoutDeletedKeys"),
+                     "--subdb-mode", 1], par)
+            wf.step(wf.path("OLCLUST.withoutDeleted"), "filterdb",
+                    [wf.path("OLCLUST.withoutDeletedKeys"),
+                     wf.path("OLCLUST.withoutDeleted"),
+                     "--filter-file", removed, "--positive-filter", 0],
+                    par)
+            old_clust = wf.path("OLCLUST.withoutDeleted")
+
+    new_mapping = wf.path("newMappingSeqs")
+    if not os.path.exists(new_mapping):
+        max_id = 0
+        for idx in (old_db + ".index", new_db + ".index"):
+            for line in open(idx):
+                max_id = max(max_id, int(line.split("\t")[0]))
+        with open(wf.path("newSeqs.mapped"), "w") as f:
+            keys = read_col(new_seqs)
+            for i, key in enumerate(keys):
+                f.write(f"{key}\t{max_id + 1 + i}\n")
+        with open(new_mapping, "w") as out:
+            for line in open(mapping):
+                a, b = line.split()[:2]
+                out.write(f"{b}\t{a}\n")
+            out.write(open(wf.path("newSeqs.mapped")).read())
+        with open(new_seqs, "w") as f:
+            for tok in read_col(wf.path("newSeqs.mapped"), 1):
+                f.write(tok + "\n")
+    wf.step(new_map_db, "renamedbkeys", [new_mapping, new_db, new_map_db],
+            par)
+    new_db = new_map_db
+
+    newseq_file = new_seqs
+    if os.path.getsize(removed) > 0 and not par.recover_deleted:
+        newseq_file = wf.path("newSeqs.withMembers")
+        if not os.path.exists(newseq_file):
+            with open(newseq_file, "w") as f:
+                f.write(open(wf.path("REMOVEDMEMBERS.tsv")).read())
+                f.write(open(new_seqs).read())
+    wf.step(wf.path("NEWDB.newSeqs"), "createsubdb",
+            [newseq_file, new_db, wf.path("NEWDB.newSeqs"),
+             "--subdb-mode", 1], par)
+    wf.step(wf.path("OLDDB.repSeq"), "result2repseq",
+            [old_db, old_clust, wf.path("OLDDB.repSeq")], par)
+    # SEARCH_PAR forces --max-accept 1 (ClusterUpdate.cpp:70-74): each
+    # new sequence attaches to at most its best representative
+    wf.step(wf.path("newSeqsHits"), "search",
+            [wf.path("NEWDB.newSeqs"), wf.path("OLDDB.repSeq"),
+             wf.path("newSeqsHits"), wf.path("search"),
+             "--max-accept", 1], par)
+    wf.step(wf.path("newSeqsHits.swapped.all"), "swapdb",
+            [wf.path("newSeqsHits"), wf.path("newSeqsHits.swapped.all")],
+            par)
+    has_hits = any(int(l.split("\t")[2]) > 1 for l in
+                   open(wf.path("newSeqsHits.swapped.all.index")))
+    updated_clust = old_clust
+    if has_hits:
+        wf.step(wf.path("newSeqsHits.swapped"), "filterdb",
+                [wf.path("newSeqsHits.swapped.all"),
+                 wf.path("newSeqsHits.swapped"),
+                 "--trim-to-one-column", 1], par)
+        wf.step(wf.path("updatedClust"), "mergedbs",
+                [old_clust, wf.path("updatedClust"), old_clust,
+                 wf.path("newSeqsHits.swapped")], par)
+        updated_clust = wf.path("updatedClust")
+
+    no_hit_list = wf.path("noHitSeqList")
+    if not os.path.exists(no_hit_list):
+        with open(no_hit_list, "w") as f:
+            for line in open(wf.path("newSeqsHits.index")):
+                parts = line.split("\t")
+                if int(parts[2]) == 1:
+                    f.write(parts[0] + "\n")
+    wf.step(wf.path("toBeClusteredSeparately"), "createsubdb",
+            [no_hit_list, new_db, wf.path("toBeClusteredSeparately"),
+             "--subdb-mode", 1], par)
+    separately = os.path.getsize(
+        wf.path("toBeClusteredSeparately") + ".index") > 0
+    if separately:
+        wf.step(wf.path("newClusters"), "cluster",
+                [wf.path("toBeClusteredSeparately"),
+                 wf.path("newClusters"), wf.path("cluster")], par)
+        wf.step(new_clust, "concatdbs",
+                [updated_clust, wf.path("newClusters"), new_clust,
+                 "--preserve-keys", 1], par)
+    else:
+        wf.step(new_clust, "mvdb", [updated_clust, new_clust], par)
+    wf.cleanup(par.remove_tmp_files)
+    return 0

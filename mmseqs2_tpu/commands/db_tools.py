@@ -33,6 +33,11 @@ def _read_key_file(path):
 
 
 def createsubdb(par, command):
+    """Subset a DB by a key file; sequence-DB ancillary files (headers,
+    lookup, source) are symlinked like the reference's
+    DBReader::softlinkDb(SEQUENCE_ANCILLARY) (createsubdb.cpp)."""
+    import os
+
     subset, db, out = par.filenames[:3]
     keys = _read_key_file(subset)
     with DBReader(db) as r, \
@@ -43,6 +48,12 @@ def createsubdb(par, command):
                 continue
             # preserve raw payload incl. trailing newline, re-add terminator
             w.write(key, r.get_data(i))
+    for suf in ("_h", "_h.index", "_h.dbtype", ".lookup", ".source",
+                "_mapping", "_taxonomy", "_nodes.dmp", "_names.dmp",
+                "_merged.dmp"):
+        src, dst = db + suf, out + suf
+        if os.path.exists(src) and not os.path.exists(dst):
+            os.symlink(os.path.abspath(src), dst)
     return 0
 
 
@@ -174,14 +185,35 @@ def subtractdbs(par, command):
 
 
 def concatdbs(par, command):
+    """Concatenate two DBs (src/util/concatdbs.cpp): by default second DB
+    keys are shifted past the first DB's max key; --preserve-keys keeps
+    both key sets (must be disjoint unless --take-larger-entry)."""
     a, b, out = par.filenames[:3]
     ra, rb = DBReader(a), DBReader(b)
+    preserve = bool(par.preserve_keys)
     max_key = int(ra.keys.max()) + 1 if ra.size else 0
     with DBWriter(out, ra.base_type, ra.extended_type) as w:
-        for i in range(ra.size):
-            w.write(ra.get_db_key(i), ra.get_data(i))
-        for i in range(rb.size):
-            w.write(max_key + rb.get_db_key(i), rb.get_data(i))
+        if preserve and par.take_larger_entry:
+            other = {int(rb.get_db_key(i)): i for i in range(rb.size)}
+            for i in range(ra.size):
+                key = ra.get_db_key(i)
+                j = other.get(int(key))
+                da = ra.get_data(i)
+                if j is not None:
+                    db_ = rb.get_data(j)
+                    w.write(key, db_ if len(db_) > len(da) else da)
+                    del other[int(key)]
+                else:
+                    w.write(key, da)
+            for key in sorted(other):
+                w.write(key, rb.get_data(other[key]))
+        else:
+            for i in range(ra.size):
+                w.write(ra.get_db_key(i), ra.get_data(i))
+            for i in range(rb.size):
+                key = rb.get_db_key(i) if preserve \
+                    else max_key + rb.get_db_key(i)
+                w.write(key, rb.get_data(i))
     ra.close()
     rb.close()
     return 0

@@ -272,19 +272,32 @@ def splitdb(par, command):
 
 
 def renamedbkeys(par, command):
-    """Rename DB keys from a two-column mapping file (renamedbkeys.cpp)."""
+    """Rename DB keys from a two-column mapping file (renamedbkeys.cpp);
+    a sibling _h header DB is renamed alongside
+    (renamedbkeys.cpp:76-139)."""
     map_path, in_path, out_path = par.filenames[:3]
+    pairs = []
+    for line in open(map_path):
+        parts = line.split()
+        if len(parts) >= 2:
+            pairs.append((int(parts[0]), int(parts[1])))
     reader = DBReader(in_path)
     with DBWriter(out_path, reader.base_type, reader.extended_type) as w:
-        for line in open(map_path):
-            parts = line.split()
-            if len(parts) < 2:
-                continue
-            old_key, new_key = int(parts[0]), int(parts[1])
+        for old_key, new_key in pairs:
             i = reader.get_id(old_key)
             if i < 0:
                 log.die(f"Key {old_key} not found in database")
             w.write(new_key, reader.get_data(i))
+    reader.close()
+    if os.path.exists(in_path + "_h.dbtype"):
+        hr = DBReader(in_path + "_h")
+        with DBWriter(out_path + "_h", hr.base_type,
+                      hr.extended_type) as w:
+            for old_key, new_key in pairs:
+                i = hr.get_id(old_key)
+                if i >= 0:
+                    w.write(new_key, hr.get_data(i))
+        hr.close()
     return 0
 
 

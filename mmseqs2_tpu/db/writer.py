@@ -33,6 +33,12 @@ class DBWriter:
             # ZSTD_initCStream(cLevel=3) (src/commons/DBWriter.cpp:273).
             self._cctx = zstandard.ZstdCompressor(level=3)
             self.extended_type |= dbt.COMPRESSED_BIT_IN_EXTENDED
+        # never truncate THROUGH a symlink (createsubdb soft-links ancillary
+        # files to the source DB; overwriting must replace the link, not the
+        # link target)
+        for p in (data_path, self.index_path, data_path + ".dbtype"):
+            if os.path.islink(p):
+                os.unlink(p)
         self._f = open(data_path, "wb")
         self._entries = []  # (key, offset, length)
         self._offset = 0
@@ -87,12 +93,16 @@ class DBWriter:
 
 def write_lookup(db_path: str, entries) -> None:
     """entries: iterable of (key, accession, file_number)."""
+    if os.path.islink(db_path + ".lookup"):
+        os.unlink(db_path + ".lookup")
     with open(db_path + ".lookup", "w") as f:
         f.write("".join(f"{k}\t{a}\t{n}\n" for k, a, n in entries))
 
 
 def write_source(db_path: str, sources) -> None:
     """sources: iterable of (file_number, file_name)."""
+    if os.path.islink(db_path + ".source"):
+        os.unlink(db_path + ".source")
     with open(db_path + ".source", "w") as f:
         f.write("".join(f"{i}\t{name}\n" for i, name in sources))
 

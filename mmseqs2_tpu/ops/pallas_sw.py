@@ -203,6 +203,10 @@ def _sw_call(prof_t, targets_t, *, go, ge, gapless, cap, track, pack,
         ],
         out_specs=out_specs,
         out_shape=out_shape,
+        # long query buckets (Lq >= 4k) exceed the default 16M scoped-vmem
+        # budget; v5e has 128M VMEM per core
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         scratch_shapes=[
             pltpu.VMEM((lq, bt), jnp.float32),
             pltpu.VMEM((lq, bt), jnp.float32),

@@ -306,6 +306,14 @@ _A("--pc-mode", "pc_mode", int, 0,
    "pseudo count mode: 0 substitution-score, 1 context-specific")
 _A("--id-list", "id_list", str, "",
    "comma-separated database keys for appenddbtoindex")
+_A("--preserve-keys", "preserve_keys", bool, False,
+   "keep the keys of the two DBs when concatenating")
+_A("--take-larger-entry", "take_larger_entry", bool, False,
+   "concatdbs: keep the larger entry on key collision")
+_A("--recover-deleted", "recover_deleted", bool, False,
+   "recover deleted sequences during clustering update")
+_A("--subdb-mode", "subdb_mode", int, 0,
+   "subdb mode: 0 copy data, 1 soft-link data, 2 hard-link data")
 _A("--mapping-file", "mapping_file", str, "",
    "rewrite the filter column by a key->value mapping file")
 _A("--extract-lines", "extract_lines", int, 0, "extract first N lines")

@@ -55,3 +55,21 @@ class Workflow:
     def cleanup(self, remove: bool):
         if remove and os.path.isdir(self.tmp):
             shutil.rmtree(self.tmp, ignore_errors=True)
+
+    def step_always(self, command_name: str, args, par=None):
+        """Run one command unconditionally (for steps whose outputs are
+        plain files without .dbtype markers)."""
+        from ..registry import get_command
+        cmd = get_command(command_name)
+        if cmd is None:
+            raise KeyError(f"unknown command {command_name}")
+        sub = Params().parse([str(a) for a in args], cmd, cmd.min_db,
+                             cmd.max_db)
+        if par is not None:
+            for attr in par._was_set:
+                if attr not in sub._was_set:
+                    sub.set(attr, getattr(par, attr))
+        fn = cmd.load()
+        ret = fn(sub, cmd)
+        if ret not in (0, None):
+            raise RuntimeError(f"step {command_name} failed with {ret}")
