@@ -174,6 +174,15 @@ _A("--expand-filter-clusters", "expand_filter_clusters", int, 0,
 _A("--seq-id-mode", "seq_id_mode", int, 0,
    "0: alignment len 1: shorter seq 2: longer seq")
 _A("--alt-ali", "alt_align", int, 0, "alternative alignments")
+_A("--mact", "mact", float, 0.035, "maximum accuracy threshold (fwbw)")
+_A("--fwbw-gapopen", "fwbw_gapopen", float, 10.0, "fwbw gap open penalty")
+_A("--fwbw-gapextend", "fwbw_gapextend", float, 2.0,
+   "fwbw gap extension penalty")
+_A("--temperature", "temperature", float, 1.0,
+   "temperature for forward-backward")
+_A("--blocklen", "blocklen", int, 16, "block length for forward-backward")
+_A("--fwbw-backtrace-mode", "fwbw_backtrace_mode", int, 1,
+   "0: no backtrace 1: local MAC backtrace")
 _A("-c", "cov_thr", float, 0.0, "coverage threshold")
 _A("--cov-mode", "cov_mode", int, 0, "coverage mode")
 _A("--max-rejected", "max_rejected", int, 2147483647, "max rejected before stop")
