@@ -175,6 +175,9 @@ _A("--seq-id-mode", "seq_id_mode", int, 0,
    "0: alignment len 1: shorter seq 2: longer seq")
 _A("--alt-ali", "alt_align", int, 0, "alternative alignments")
 _A("--mact", "mact", float, 0.035, "maximum accuracy threshold (fwbw)")
+_A("--tau", "tau", float, 0.9, "context state pseudo count mixture")
+_A("--context-lib", "context_lib", str, "",
+   "CRF context library file (default: built-in synthetic library)")
 _A("--fwbw-gapopen", "fwbw_gapopen", float, 10.0, "fwbw gap open penalty")
 _A("--fwbw-gapextend", "fwbw_gapextend", float, 2.0,
    "fwbw gap extension penalty")
