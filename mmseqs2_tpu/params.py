@@ -176,6 +176,12 @@ _A("--seq-id-mode", "seq_id_mode", int, 0,
 _A("--alt-ali", "alt_align", int, 0, "alternative alignments")
 _A("--mact", "mact", float, 0.035, "maximum accuracy threshold (fwbw)")
 _A("--tau", "tau", float, 0.9, "context state pseudo count mixture")
+_A("--include-align-files", "include_align_files", bool, False,
+   "align2clust: also write an alignment DB at <outDB>_aln")
+_A("--filter-cludb-file", "filter_clu_db_file", str, "",
+   "align2clust: cluster DB for the all-member gate")
+_A("--filter-seqdb-file", "filter_seq_db_file", str, "",
+   "align2clust: sequence DB for the all-member gate")
 _A("--context-lib", "context_lib", str, "",
    "CRF context library file (default: built-in synthetic library)")
 _A("--fwbw-gapopen", "fwbw_gapopen", float, 10.0, "fwbw gap open penalty")
