@@ -32,10 +32,14 @@ def parse_aln_line(parts):
     h = HitRecord()
     h.db_key = fast_atoi(parts[0])
     h.eval = float(parts[3]) if len(parts) > 3 else 0.0
-    h.q_start = int(parts[4])
-    h.q_end = int(parts[5])
-    h.db_start = int(parts[7])
-    h.db_end = int(parts[8])
+    if len(parts) > 8:
+        h.q_start = int(parts[4])
+        h.q_end = int(parts[5])
+        h.db_start = int(parts[7])
+        h.db_end = int(parts[8])
+    else:
+        # key-only entry (cluster DB input): alignment recomputed on device
+        h.q_start = h.q_end = h.db_start = h.db_end = -1
     h.backtrace = expand_cigar(parts[10].decode()) if len(parts) > 10 else ""
     return h
 
