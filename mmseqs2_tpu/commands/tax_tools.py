@@ -568,3 +568,85 @@ def createdmptaxonomy(par, command):
             names_fp.write(f"{node.tax_id}\t|\t{node.name}\t|\t\t|"
                            f"\tscientific name\t|\n")
     return 0
+
+
+def nrtotaxmapping(par, command):
+    """`nrtotaxmapping` — taxonomy mapping TSV for an NCBI NR-style DB
+    (reference src/util/nrtotaxmapping.cpp). Inputs: N accession2taxid
+    files (cols: accession, accession.version, taxid, gi), then the seq DB
+    (whose taxonomy dump must already be attached), output TSV.
+    Per \\x01-merged header: the accession (up to the first '.'/' ') is
+    looked up in the accession mapping; misses fall back to the LAST
+    space-preceded [species name] bracket matched against taxonomy names
+    that are UNIQUE across all nodes; the entry's taxon is the LCA."""
+    import gzip
+
+    out_path = par.filenames[-1]
+    seq_db = par.filenames[-2]
+    acc_files = par.filenames[:-2]
+
+    acc_map = {}
+    dup_acc = set()
+    for path in acc_files:
+        op = gzip.open if path.endswith(".gz") else open
+        with op(path, "rt") as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) < 4:
+                    if parts and parts[0] == "accession":
+                        continue
+                    log.die(f"Invalid accession2taxid file {path}")
+                if parts[0] == "accession":
+                    continue
+                acc_map[parts[0]] = int(parts[2])
+
+    taxonomy = NcbiTaxonomy.open_taxonomy(seq_db)
+    name_count = {}
+    for node in taxonomy.nodes.values():
+        name_count[node.name] = name_count.get(node.name, 0) + 1
+    unique_names = {n.name: n.tax_id for n in taxonomy.nodes.values()
+                    if name_count[n.name] == 1}
+
+    hdr = DBReader(seq_db + "_h")
+    mapping = []
+    for i in range(hdr.size):
+        key = hdr.get_db_key(i)
+        taxa = []
+        data = hdr.get_data(i).rstrip(b"\x00").decode(errors="replace")
+        for sub in data.replace("\n", "\x01").split("\x01"):
+            if not sub:
+                continue
+            # accession = prefix up to first '.' or ' '
+            cut = len(sub)
+            for j, ch in enumerate(sub):
+                if ch in ". ":
+                    cut = j
+                    break
+            acc = sub[:cut]
+            tid = acc_map.get(acc, 0)
+            if tid:
+                taxa.append(tid)
+                continue
+            # last space-preceded bracket
+            name = None
+            pos = 0
+            while True:
+                b = sub.find(" [", pos)
+                if b < 0:
+                    break
+                e = sub.find("]", b + 2)
+                name = sub[b + 2:e] if e >= 0 else sub[b + 2:]
+                pos = b + 2
+            if name:
+                tid = unique_names.get(name, 0)
+                if tid:
+                    taxa.append(tid)
+        node = taxonomy.lca(taxa) if taxa else None
+        if node is not None:
+            mapping.append((key, node.tax_id))
+    hdr.close()
+    mapping.sort()
+    with open(out_path, "w") as f:
+        for key, tid in mapping:
+            f.write(f"{key}\t{tid}\n")
+    return 0
