@@ -568,3 +568,83 @@ def makepaddedseqdb(par, command):
     reader.close()
     hdr.close()
     return 0
+
+
+def createclusearchdb(par, command):
+    """`createclusearchdb` — split a clustered sequence DB into a
+    representative DB plus a member ("_seq") DB whose data is the
+    two-file layout [reps (.0 symlink), members (.1)] with a merged
+    key-sorted index (reference src/util/createclusterdb.cpp). Also
+    copies the cluster DB to <out>_clu and aliases lookup/source/tax
+    files onto the _seq DB."""
+    import os
+
+    seq_path, clu_path, out_path = par.filenames[:3]
+    clu = DBReader(clu_path)
+    suffixes = [""] + [s for s in par.db_suffix_list.split(",") if s]
+    for suf in suffixes:
+        src = DBReader(seq_path + suf)
+        rep_out = out_path + suf
+        seq_out = out_path + "_seq" + suf
+        rep_entries = []   # (key, offset, length) in rep data file
+        with open(rep_out, "wb") as rf, open(seq_out + ".1", "wb") as mf:
+            rep_off = 0
+            mem_entries = []
+            mem_off = 0
+            for i in range(clu.size):
+                rep_key = clu.get_db_key(i)
+                rid = src.get_id(rep_key)
+                if rid < 0:
+                    log.die(f"Representative {rep_key} does not exist in "
+                            f"sequence database.")
+                payload = src.get_data(rid) + b"\x00"
+                rf.write(payload)
+                rep_entries.append((rep_key, rep_off, len(payload)))
+                rep_off += len(payload)
+                for line in clu.get_data(i).split(b"\n"):
+                    if not line.strip():
+                        continue
+                    dbkey = int(line.split()[0])
+                    if dbkey == rep_key:
+                        continue
+                    mid = src.get_id(dbkey)
+                    if mid < 0:
+                        log.die(f"Cluster member {dbkey} does not exist in "
+                                f"sequence database.")
+                    p = src.get_data(mid) + b"\x00"
+                    mf.write(p)
+                    mem_entries.append((dbkey, mem_off, len(p)))
+                    mem_off += len(p)
+        # rep DB: plain single-file DB
+        rep_entries.sort()
+        with open(rep_out + ".index", "w") as f:
+            for k, o, l in rep_entries:
+                f.write(f"{k}\t{o}\t{l}\n")
+        dbt.write_dbtype(rep_out, src.base_type, src.extended_type)
+        # _seq DB: .0 -> rep data (symlink), .1 = members, merged index
+        if os.path.lexists(seq_out + ".0"):
+            os.unlink(seq_out + ".0")
+        os.symlink(os.path.basename(rep_out), seq_out + ".0")
+        merged = rep_entries + [(k, o + rep_off, l)
+                                for k, o, l in mem_entries]
+        merged.sort()
+        with open(seq_out + ".index", "w") as f:
+            for k, o, l in merged:
+                f.write(f"{k}\t{o}\t{l}\n")
+        dbt.write_dbtype(seq_out, src.base_type, src.extended_type)
+        src.close()
+    clu.close()
+    # copy the clustering and ancillary files
+    for suf in ("", ".index", ".dbtype"):
+        if os.path.exists(clu_path + suf):
+            shutil.copyfile(clu_path + suf, out_path + "_clu" + suf)
+    for anc in (".lookup", ".source", "_mapping", "_names.dmp",
+                "_nodes.dmp", "_merged.dmp", "_taxonomy"):
+        srcf = seq_path + anc
+        if os.path.exists(srcf):
+            shutil.copyfile(srcf, out_path + anc)
+            dst = out_path + "_seq" + anc
+            if os.path.lexists(dst):
+                os.unlink(dst)
+            os.symlink(os.path.basename(out_path + anc), dst)
+    return 0

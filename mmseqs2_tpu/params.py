@@ -176,6 +176,8 @@ _A("--seq-id-mode", "seq_id_mode", int, 0,
 _A("--alt-ali", "alt_align", int, 0, "alternative alignments")
 _A("--mact", "mact", float, 0.035, "maximum accuracy threshold (fwbw)")
 _A("--tau", "tau", float, 0.9, "context state pseudo count mixture")
+_A("--db-suffix-list", "db_suffix_list", str, "_h",
+   "suffixes for database to be split in rep/seq")
 _A("--db-mirror", "db_mirror", str, "",
    "local mirror directory for `databases` source artifacts (no egress)")
 _A("--include-align-files", "include_align_files", bool, False,
