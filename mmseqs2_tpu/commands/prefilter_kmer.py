@@ -284,6 +284,7 @@ def _write_hits(writer, par, treader, q_key, q_len, hits):
         t_key = treader.get_db_key(tid)
         lines.append(f"{t_key}\t{score}\t{diag}\n")
     writer.write(q_key, "".join(lines).encode())
+    return len(lines)
 
 
 def _run_device(par, qreader, treader, qdb, dev, matcher, query_is_profile,
@@ -293,6 +294,7 @@ def _run_device(par, qreader, treader, qdb, dev, matcher, query_is_profile,
     writer = DBWriter(out_path, dbt.DBTYPE_PREFILTER_RES)
     HIT_BUDGET = 1 << 22
     batch, budget = [], 0
+    reslens = []
 
     def flush():
         nonlocal batch, budget
@@ -309,7 +311,9 @@ def _run_device(par, qreader, treader, qdb, dev, matcher, query_is_profile,
             generators=(gens if any(g is not None for g in gens)
                         else None))
         for b, hits in zip(batch, hit_lists):
-            _write_hits(writer, par, treader, b["key"], b["qlen"], hits)
+            n = _write_hits(writer, par, treader, b["key"], b["qlen"],
+                            hits)
+            reslens.append(n)
         batch, budget = [], 0
 
     for qid in range(qreader.size):
@@ -344,6 +348,7 @@ def _run_device(par, qreader, treader, qdb, dev, matcher, query_is_profile,
             flush()
     flush()
     writer.close()
+    _print_statistics(None, reslens, qreader.size, par.max_seqs)
     return 0
 
 
@@ -473,12 +478,38 @@ def _run_device_splits(par, qreader, treader, qdb, tdb, seed, ungapped,
     return 0
 
 
+
+
+def _print_statistics(stats_acc, reslens, n_queries, max_results):
+    """Prefiltering::printStatistics (Prefiltering.cpp:984-1006)."""
+    if n_queries == 0:
+        return
+    if stats_acc is not None:
+        kpp, dbm, dbl = stats_acc
+        log.info(f"\n{kpp / n_queries:g} k-mers per position")
+        log.info(f"{dbm // n_queries} DB matches per sequence")
+        log.info("0 overflows")
+    passed = sum(reslens) // n_queries
+    msg = f"{passed} sequences passed prefiltering per query sequence"
+    if passed > max_results:
+        log.warning(msg + f" (ATTENTION: max. {max_results} best scoring "
+                    "sequences were written to the output prefiltering "
+                    "database)")
+    else:
+        log.info(msg)
+    sl = sorted(reslens)
+    log.info(f"{sl[len(sl) // 2]} median result list length")
+    log.info(f"{sum(1 for r in reslens if r == 0)} sequences with 0 size "
+             "result lists")
+
 def _run_host(par, qreader, treader, qdb, matcher, query_is_profile,
               same_db, out_path, alpha):
     """Per-query host (numpy oracle) matching loop."""
     table = matcher.index
     kmer_size = matcher.k
     writer = DBWriter(out_path, dbt.DBTYPE_PREFILTER_RES)
+    stats_acc = [0.0, 0, 0]
+    reslens = []
     for qid in range(qreader.size):
         q_key = qreader.get_db_key(qid)
         identity_id = -1
@@ -516,5 +547,10 @@ def _run_host(par, qreader, treader, qdb, matcher, query_is_profile,
             t_key = treader.get_db_key(tid)
             lines.append(f"{t_key}\t{score}\t{diag}\n")
         writer.write(q_key, "".join(lines).encode())
+        stats_acc[0] += matcher.stats.kmers_per_pos
+        stats_acc[1] += matcher.stats.db_matches
+        stats_acc[2] += matcher.stats.double_matches
+        reslens.append(len(lines))
     writer.close()
+    _print_statistics(stats_acc, reslens, qreader.size, par.max_seqs)
     return 0

@@ -176,6 +176,22 @@ _A("--seq-id-mode", "seq_id_mode", int, 0,
 _A("--alt-ali", "alt_align", int, 0, "alternative alignments")
 _A("--mact", "mact", float, 0.035, "maximum accuracy threshold (fwbw)")
 _A("--tau", "tau", float, 0.9, "context state pseudo count mixture")
+_A("--proteome-sim-thr", "proteome_sim_thr", float, 0.9,
+   "unidirectional proteome similarity threshold")
+_A("--proteome-rel-sim-thr", "proteome_relative_sim_thr", float, 0.9,
+   "bidirectional proteome similarity threshold")
+_A("--proteome-cascaded", "proteome_cascaded_clustering", bool, False,
+   "cascaded proteome clustering")
+_A("--pps-weight-file", "pps_weight_file", str, "",
+   "precomputed proteome weight file for representative selection")
+_A("--proteome-weight-file", "proteome_weight_file", str, "",
+   "proteome weight file for representative selection")
+_A("--weight-cluster-count", "weight_cluster_count", float, 0.0,
+   "cluster-count weight for proteome representative selection")
+_A("--proteome-weight-cluster-count", "proteome_weight_cluster_count",
+   float, 0.0, "cluster-count weight (proteome variant)")
+_A("--cluster-module", "cluster_module", int, 0,
+   "0: linclust, 1: cluster (easy-proteomecluster)")
 _A("--db-suffix-list", "db_suffix_list", str, "_h",
    "suffixes for database to be split in rep/seq")
 _A("--db-mirror", "db_mirror", str, "",
