@@ -167,12 +167,15 @@ def build_pairs(seqs, keys, k: int, alpha: int, x_index: int,
             np.array(diags, dtype=np.int16))
 
 
-def write_result(writer, rep_k, mem_k, diags):
+def write_result(writer, rep_k, mem_k, diags, revs=None):
     """Sort pairs by (rep, member, diag) and serialize per representative
     (kmermatcher.cpp writeKmerMatcherResult), including its write_sets quirk
-    (once any rep wrote members, later member-less reps are still written)."""
+    (once any rep wrote members, later member-less reps are still written).
+    For nucleotide pairs `revs` flags reversed matches; their score is
+    emitted negative (writeKmerMatcherResult bestReverMask)."""
     order = np.lexsort((diags, mem_k, rep_k))
     rep_k, mem_k, diags = rep_k[order], mem_k[order], diags[order]
+    revs = revs[order] if revs is not None else None
     n = len(rep_k)
     i = 0
     write_sets = 0
@@ -187,21 +190,33 @@ def write_result(writer, rep_k, mem_k, diags):
             # count run for this member; most frequent diagonal (>= latest)
             e = j
             best_diag = int(diags[j])
+            best_rev = bool(revs[j]) if revs is not None else False
             max_cnt = 0
             cnt = 0
             prev = None
             top = 0
-            while e < n and rep_k[e] == rep and mem_k[e] == member:
+            # nucleotide quirk (writeKmerMatcherResult): the counting loop
+            # requires kmer == repSeqId, which only reverse entries (bit 63
+            # clear) satisfy — a forward first entry yields score 0 with its
+            # own diagonal, and counting stops at the first forward entry
+            while e < n and rep_k[e] == rep and mem_k[e] == member \
+                    and (revs is None or revs[e]):
                 d = int(diags[e])
                 cnt = cnt + 1 if d == prev else 1
                 if cnt >= max_cnt:
                     best_diag = d
                     max_cnt = cnt
+                    if revs is not None:
+                        best_rev = bool(revs[e])
                 prev = d
                 e += 1
                 top += 1
+            # skip the rest of the (rep, member) group (lastTargetId gate)
+            while e < n and rep_k[e] == rep and mem_k[e] == member:
+                e += 1
             if member != rep:
-                lines.append(f"{member}\t{top}\t{best_diag}\n")
+                score = -top if best_rev else top
+                lines.append(f"{member}\t{score}\t{best_diag}\n")
                 members_written += 1
             j = e
         write_sets += members_written
@@ -210,3 +225,154 @@ def write_result(writer, rep_k, mem_k, diags):
             written.add(rep)
         i = j
     return written
+
+
+# -- nucleotide (reverse-complement canonical) path -------------------------------
+
+BIT63 = np.uint64(1) << np.uint64(63)
+
+
+def rev_complement(idx: np.ndarray, k: int) -> np.ndarray:
+    """Util::revComplement: reverse base order + complement of the
+    big-endian 2-bit packed k-mer. In the ACTG alphabet order
+    (NucleotideMatrix) the complement is XOR 2 (A0<->T2, C1<->G3)."""
+    out = np.zeros_like(idx)
+    x = idx.copy()
+    two = np.uint64(2)
+    three = np.uint64(3)
+    for _ in range(k):
+        out = (out << two) | ((x & three) ^ two)
+        x = x >> two
+    return out
+
+
+def _admit(hashes: np.ndarray, target: int):
+    """Histogram-threshold admission (kmermatcher.cpp:240-262)."""
+    counts = np.bincount(hashes, minlength=65536)
+    cum = np.cumsum(counts)
+    thr = int(np.searchsorted(cum, target) + 1)
+    in_bins = int(cum[thr - 1])
+    excess = in_bins - target
+    lt = hashes < thr - 1
+    eq = hashes == thr - 1
+    admit_eq = eq & (np.cumsum(eq) <= excess) if excess > 0 else eq
+    admitted = lt | admit_eq
+    admitted &= np.cumsum(admitted) <= target
+    return admitted
+
+
+def select_kmers_nucl(seq_num: np.ndarray, k: int, kmer_considered: int,
+                      hash_shift: int):
+    """Canonical (min of fwd/revcomp) 2-bit k-mers of one nucleotide
+    sequence; returns (kmer-with-bit63-flag u64, effective pos, hash16).
+    Forward picks carry bit 63 SET, reverse picks cleared; palindromic
+    k-mers are skipped (kmermatcher.cpp:166-203)."""
+    L = len(seq_num)
+    n = L - k + 1
+    empty = (np.zeros(0, np.uint64), np.zeros(0, np.int64),
+             np.zeros(0, np.int64))
+    if n <= 0:
+        return empty
+    win = seq_num[np.arange(n)[:, None] + np.arange(k)[None, :]]
+    valid = (win < 4).all(axis=1)
+    shifts = (np.uint64(2) * np.arange(k - 1, -1, -1, dtype=np.uint64))
+    with np.errstate(over="ignore"):
+        idx = ((win.astype(np.uint64) & np.uint64(3))
+               << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    pos = np.nonzero(valid)[0]
+    idx = idx[valid]
+    if len(idx) == 0:
+        return empty
+    rc = rev_complement(idx, k)
+    keep = rc != idx                      # skip palindromes
+    idx, rc, pos = idx[keep], rc[keep], pos[keep]
+    if len(idx) == 0:
+        return empty
+    pick_rev = rc < idx
+    canon = np.where(pick_rev, rc, idx)
+    eff_pos = np.where(pick_rev, L - pos - k, pos)
+    hashes = (xxh64_u64(canon, hash_shift)
+              & np.uint64(0xFFFF)).astype(np.int64)
+    flagged = np.where(pick_rev, canon, canon | BIT63)
+    admitted = _admit(hashes, min(kmer_considered, len(canon)))
+    return flagged[admitted], eff_pos[admitted], hashes[admitted]
+
+
+def build_pairs_nucl(seqs, keys, k: int, kmers_per_seq: int,
+                     kmers_per_seq_scale: float, hash_shift: int,
+                     cov_thr: float, cov_mode: int,
+                     include_only_extendable: bool):
+    """Nucleotide center->member pairs with orientation handling
+    (kmermatcher.cpp:495-665). Returns (rep_k, mem_k, diag i16, rev)."""
+    from ..align.util import can_be_covered
+    ks, ids, poss, lens = [], [], [], []
+    for lid, seq in enumerate(seqs):
+        L = len(seq)
+        considered = int(kmers_per_seq - 1 + kmers_per_seq_scale * L)
+        kmers, pos, _ = select_kmers_nucl(seq, k, considered, hash_shift)
+        key = int(keys[lid])
+        ks.append(kmers)
+        ids.append(np.full(len(kmers), key, dtype=np.int64))
+        poss.append(pos)
+        lens.append(np.full(len(kmers), L, dtype=np.int64))
+        ks.append(np.array([xxh64_u64(np.array([poly_hash(seq)],
+                                               dtype=np.uint64),
+                                      hash_shift)[0]], dtype=np.uint64))
+        ids.append(np.array([key], dtype=np.int64))
+        poss.append(np.array([0], dtype=np.int64))
+        lens.append(np.array([L], dtype=np.int64))
+    kmer = np.concatenate(ks) if ks else np.zeros(0, np.uint64)
+    sid = np.concatenate(ids) if ids else np.zeros(0, np.int64)
+    pos = np.concatenate(poss) if poss else np.zeros(0, np.int64)
+    slen = np.concatenate(lens) if lens else np.zeros(0, np.int64)
+
+    masked = kmer | BIT63
+    order = np.lexsort((pos, sid, -slen, masked))
+    kmer, sid, pos, slen = kmer[order], sid[order], pos[order], slen[order]
+    masked = masked[order]
+    is_rev = (kmer & BIT63) == 0
+
+    n = len(kmer)
+    rep_k, mem_k, diags, revs = [], [], [], []
+    start = 0
+    while start < n:
+        end = start + 1
+        while end < n and masked[end] == masked[start]:
+            end += 1
+        if end - start >= 2:
+            rep_id = sid[start]
+            rep_pos = int(pos[start])
+            rep_len = int(slen[start])
+            rep_rev = bool(is_rev[start])
+            for i in range(start, end):
+                t_rev = bool(is_rev[i])
+                t_len = int(slen[i])
+                if rep_rev != t_rev:
+                    q_pos = (rep_len - 1) - rep_pos if not rep_rev \
+                        else rep_pos
+                    t_pos = (t_len - 1) - int(pos[i]) if not rep_rev \
+                        else int(pos[i])
+                    q_needs_rev = True
+                elif rep_rev:           # both reverse
+                    q_pos = (rep_len - 1) - rep_pos
+                    t_pos = (t_len - 1) - int(pos[i])
+                    q_needs_rev = False
+                else:                   # both forward
+                    q_pos = rep_pos
+                    t_pos = int(pos[i])
+                    q_needs_rev = False
+                diagonal = q_pos - t_pos
+                can_ext = diagonal < 0 or diagonal > (rep_len - t_len)
+                covered = can_be_covered(cov_thr, cov_mode,
+                                         float(rep_len), float(t_len))
+                if (not include_only_extendable and covered) or \
+                        (can_ext and include_only_extendable):
+                    rep_k.append(int(rep_id))
+                    mem_k.append(int(sid[i]))
+                    diags.append(np.int16(diagonal))
+                    revs.append(q_needs_rev)
+        start = end
+    return (np.array(rep_k, dtype=np.int64),
+            np.array(mem_k, dtype=np.int64),
+            np.array(diags, dtype=np.int16),
+            np.array(revs, dtype=bool))

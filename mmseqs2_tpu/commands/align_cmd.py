@@ -243,7 +243,7 @@ def _align_nucl(par, qreader, treader, same_db):
         data = prefdb.get_data(pid)
         lines = []
         if data:
-            hit_keys, _, hit_diags = parse_prefilter_entry(data)
+            hit_keys, hit_scores, hit_diags = parse_prefilter_entry(data)
             qid = qreader.get_id(query_key)
             q_num = qdb.seq_num(qid)
             q_len = qdb.seq_len(qid)
@@ -252,7 +252,8 @@ def _align_nucl(par, qreader, treader, same_db):
             accepted = []
             passed = 0
             rejected = 0
-            for key, diag in zip(hit_keys, hit_diags):
+            for key, score_in, diag in zip(hit_keys, hit_scores,
+                                           hit_diags):
                 if passed >= par.max_accept or rejected >= par.max_rejected:
                     break
                 tid = treader.get_id(key)
@@ -264,7 +265,10 @@ def _align_nucl(par, qreader, treader, same_db):
                                             float(q_len), float(t_len)):
                     rejected += 1
                     continue
-                res = aligner.align(tdb.seq_num(tid), diag, is_rev_pref)
+                # a hit is reversed iff its prefilter score is negative
+                # in a PREFILTER_REV_RES DB (rescorediagonal.cpp:200-205)
+                res = aligner.align(tdb.seq_num(tid), diag,
+                                    is_rev_pref and score_in < 0)
                 res.db_key = key
                 aln_num += 1
                 res.seq_id = float(autil.compute_seq_id(

@@ -82,13 +82,21 @@ def linclust(par, command):
     wf.step(pref_f2, "filterdb",
             [pref_f1, pref_f2, "--filter-file", order], par)
 
-    # ungapped substitution rescoring with precision filter (aa only)
-    resc2 = wf.path("pref_rescore2")
-    wf.step(resc2, "rescorediagonal",
-            [input_red, input_red, pref_f2, resc2, "--rescore-mode", 1,
-             "--filter-hits", 1, "--min-seq-id", par.min_seq_id,
-             "-c", par.cov_thr, "--cov-mode", par.cov_mode,
-             "-e", par.evalue], par)
+    # ungapped substitution rescoring with precision filter — amino acid
+    # only; nucleotide/profile DBs align the unfiltered candidate list
+    # (Linclust.cpp:129 "do not filter for nucl, profiles")
+    from ..db import dbtype as _dbt
+    from ..db.reader import DBReader as _DBR
+    is_aa = _DBR(seq_db).base_type == _dbt.DBTYPE_AMINO_ACIDS
+    if is_aa:
+        resc2 = wf.path("pref_rescore2")
+        wf.step(resc2, "rescorediagonal",
+                [input_red, input_red, pref_f2, resc2, "--rescore-mode", 1,
+                 "--filter-hits", 1, "--min-seq-id", par.min_seq_id,
+                 "-c", par.cov_thr, "--cov-mode", par.cov_mode,
+                 "-e", par.evalue], par)
+    else:
+        resc2 = pref_f2
 
     aln = wf.path("aln")
     wf.step(aln, "align",

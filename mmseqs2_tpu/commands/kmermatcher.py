@@ -41,6 +41,9 @@ def kmermatcher(par, command):
     cov_thr = par.cov_thr if par.was_set("cov_thr") else 0.8
     mask = par.mask if par.was_set("mask") else 0
 
+    if reader.base_type == dbt.DBTYPE_NUCLEOTIDES:
+        return _kmermatcher_nucl(par, reader, out_path, cov_thr)
+
     k, alpha, kmer_per_seq = kmer_length_and_alphabet(
         par, reader.total_residues())
     log.info(f"kmermatcher: k = {k}, alphabet = {alpha}, "
@@ -106,6 +109,39 @@ def kmermatcher(par, command):
     written = km.write_result(writer, rep_k, mem_k, diags)
     # sequences that did not become a written representative get a self-only
     # entry (kmermatcher.cpp:1404-1423)
+    for i in range(reader.size):
+        key = int(reader.get_db_key(i))
+        if key not in written:
+            writer.write(key, f"{key}\t0\t0\n".encode())
+    writer.close()
+    reader.close()
+    return 0
+
+
+def _kmermatcher_nucl(par, reader, out_path, cov_thr):
+    """Nucleotide path: reverse-complement-canonical 2-bit k-mers, output
+    typed DBTYPE_PREFILTER_REV_RES with negative scores flagging reversed
+    matches (kmermatcher.cpp:166-203,631-661,1360,2039-2046)."""
+    k = par.kmer_size
+    if k == 0:
+        k = max(17, int(np.log(np.float32(reader.total_residues()))
+                        / np.log(4.0)))
+    kmer_per_seq = par.kmer_per_seq if par.was_set("kmer_per_seq") else 60
+    log.info(f"kmermatcher (nucl): k = {k}, kmers/seq = {kmer_per_seq}")
+    submat = get_submat(par.sub_mat.nucl, 1.0, 0.0)
+    x_idx = submat.alphabet_size - 1
+    seqs = [submat.encode(reader.get_seq(i)) for i in range(reader.size)]
+    if par.was_set("mask") and par.mask:
+        from ..ops.tantan import likelihood_ratio_matrix, mask_batch
+        seqs, _ = mask_batch(seqs, likelihood_ratio_matrix(submat), x_idx,
+                             par.mask_prob)
+    rep_k, mem_k, diags, revs = km.build_pairs_nucl(
+        seqs, reader.keys, k, kmer_per_seq, par.kmer_per_seq_scale.nucl,
+        par.hash_shift, cov_thr, par.cov_mode,
+        par.include_only_extendable)
+    log.info(f"{len(rep_k)} candidate pairs")
+    writer = DBWriter(out_path, dbt.DBTYPE_PREFILTER_REV_RES)
+    written = km.write_result(writer, rep_k, mem_k, diags, revs)
     for i in range(reader.size):
         key = int(reader.get_db_key(i))
         if key not in written:

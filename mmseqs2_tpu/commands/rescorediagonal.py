@@ -101,6 +101,13 @@ def rescorediagonal(par, command):
     amat = ascii_submat(submat)
     evaluer = EvalueComputation(tdb.total_residues(), submat, 0, 0)
     mode = par.rescore_mode
+    rev_pref = res.base_type == dbt.DBTYPE_PREFILTER_REV_RES
+    rc_table = None
+    if rev_pref:
+        rc_table = np.arange(256, dtype=np.uint8)
+        for a, b in ((ord("A"), ord("T")), (ord("C"), ord("G")),
+                     (ord("a"), ord("t")), (ord("c"), ord("g"))):
+            rc_table[a], rc_table[b] = b, a
     score_per_col_thr = 0.0
     if par.filter_hits:
         if mode == RESCORE_HAMMING:
@@ -115,7 +122,9 @@ def rescorediagonal(par, command):
                                                 par.cov_thr, 0.99)
 
     out_type = dbt.DBTYPE_ALIGNMENT_RES if mode in (
-        RESCORE_ALIGNMENT, RESCORE_END_TO_END) else dbt.DBTYPE_PREFILTER_RES
+        RESCORE_ALIGNMENT, RESCORE_END_TO_END) else (
+        dbt.DBTYPE_PREFILTER_REV_RES if rev_pref
+        else dbt.DBTYPE_PREFILTER_RES)
     writer = DBWriter(out_path, out_type)
 
     for i in range(res.size):
@@ -125,10 +134,17 @@ def rescorediagonal(par, command):
         aln_results = []
         if data:
             qid = qdb.get_id(q_key)
-            q_seq = np.frombuffer(qdb.get_seq(qid), dtype=np.uint8)
-            q_len = len(q_seq)
+            q_fwd = np.frombuffer(qdb.get_seq(qid), dtype=np.uint8)
+            q_len = len(q_fwd)
+            q_rev_seq = None
+            if rev_pref:
+                # reverse complement at the byte level
+                # (rescorediagonal.cpp:177-183)
+                q_rev_seq = rc_table[q_fwd[::-1]]
             keys, scores_in, diags = parse_prefilter_entry(data)
-            for key, _, diag in zip(keys, scores_in, diags):
+            for key, score_in, diag in zip(keys, scores_in, diags):
+                is_rev = rev_pref and score_in < 0
+                q_seq = q_rev_seq if is_rev else q_fwd
                 tid = tdb.get_id(key)
                 t_seq = np.frombuffer(tdb.get_seq(tid), dtype=np.uint8)
                 t_len = len(t_seq)
@@ -216,12 +232,15 @@ def rescorediagonal(par, command):
                     if mode in (RESCORE_ALIGNMENT, RESCORE_END_TO_END):
                         aln_results.append(result)
                     elif mode == RESCORE_SUBSTITUTION:
-                        lines.append(f"{key}\t{bit_score}\t{d}\n")
+                        out_sc = -bit_score if is_rev else bit_score
+                        lines.append(f"{key}\t{out_sc}\t{d}\n")
                     else:
                         # seqId is held in a double in the reference, so
                         # 100*0.11f = 10.9999... truncates to 10
-                        lines.append(
-                            f"{key}\t{int(100 * np.float64(seq_id))}\t{d}\n")
+                        out_sc = int(100 * np.float64(seq_id))
+                        if is_rev:
+                            out_sc = -out_sc
+                        lines.append(f"{key}\t{out_sc}\t{d}\n")
         if par.sort_results > 0 and len(aln_results) > 1:
             sort_results(aln_results)
         if aln_results:
