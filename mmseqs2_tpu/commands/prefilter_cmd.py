@@ -79,6 +79,41 @@ def prefilter_exhaustive(par, mode):
         profile = jnp.asarray(ctx.profile[None])
         cap = 255 - ctx.bias
         hits = []
+        # resident device index server (gpuserver): one request scores the
+        # whole target DB without re-transferring it
+        srv_scores = None
+        if par.gpu:
+            from ..server.device_server import query_server
+            srv_scores = query_server(tdb_path, ctx.profile, cap, mode,
+                                      par.gap_open.aa, par.gap_extend.aa)
+            if srv_scores is None and qid == 0:
+                log.warning("no gpuserver running for the target DB; "
+                            "computing locally")
+        if srv_scores is not None:
+            all_ids = [tid for _, tids in buckets.items() for tid in tids]
+            score_iter = [(tid, int(srv_scores[tid])) for tid in all_ids]
+            for tid, score in score_iter:
+                t_key = treader.get_db_key(tid)
+                if not autil.can_be_covered(par.cov_thr, par.cov_mode,
+                                            float(q_len),
+                                            float(tdb.seq_len(tid))):
+                    continue
+                is_identity = (query_key == t_key
+                               and (par.include_identity or same_db))
+                if mode == 1:
+                    if is_identity:
+                        res = aligner.score_identical(ctx,
+                                                      tdb.seq_num(tid), 0)
+                        score = res.raw_score
+                    ev = evaluer.compute_evalue(score, q_len)
+                    has_eval = ev <= par.evalue
+                else:
+                    has_eval = True
+                if is_identity or (score > par.min_ungapped_score
+                                   and has_eval):
+                    hits.append((t_key, score))
+            _write_hits(writer, query_key, hits, par.max_seqs)
+            continue
         for L, tids in buckets.items():
             tb, tlens = padded[L]
             for lo in range(0, len(tids), chunk):
