@@ -44,6 +44,10 @@ def main(argv=None):
         print(f"Usage: mmseqs2-tpu {cmd.usage}\n\n{cmd.description}")
         return 0
     timer = log.Timer()
+    # join the multi-host cluster before any command touches devices
+    # (no-op unless MMSEQS_COORDINATOR is set; parallel/multihost.py)
+    from .parallel.multihost import init_multihost
+    init_multihost()
     par = Params().parse(argv[1:], cmd, cmd.min_db, cmd.max_db)
     fn = cmd.load()
     ret = fn(par, cmd)

@@ -100,10 +100,37 @@ def select_kmers(seq_num: np.ndarray, k: int, alpha: int, x_index: int,
     return idx[admitted], pos[admitted], hashes[admitted]
 
 
+
+
+def _swap_center_by_weight(kmer, sid, pos, slen, weights, masked=None):
+    """swapCenterSequence (kmermatcher.cpp:407-448): per k-mer group, swap
+    the strictly-highest-weight entry to the group head so it becomes the
+    representative."""
+    group_key = masked if masked is not None else kmer
+    n = len(kmer)
+    start = 0
+    while start < n:
+        end = start + 1
+        while end < n and group_key[end] == group_key[start]:
+            end += 1
+        best = start
+        best_w = weights.get(int(sid[start]), 0.0)
+        for i in range(start + 1, end):
+            w = weights.get(int(sid[i]), 0.0)
+            if w > best_w:
+                best_w = w
+                best = i
+        if best != start:
+            for arr in (kmer, sid, pos, slen):
+                arr[start], arr[best] = arr[best].copy(), arr[start].copy()
+        start = end
+
+
 def build_pairs(seqs, keys, k: int, alpha: int, x_index: int,
                 kmers_per_seq: int, kmers_per_seq_scale: float,
                 hash_shift: int, cov_thr: float, cov_mode: int,
-                include_only_extendable: bool, spaced: bool = False):
+                include_only_extendable: bool, spaced: bool = False,
+                weights=None, weight_thr: float = 0.9):
     """Collect entries, group by kmer, emit center->member pairs.
 
     seqs: list of reduced numeric sequences in local id order; keys: db keys.
@@ -139,6 +166,9 @@ def build_pairs(seqs, keys, k: int, alpha: int, x_index: int,
     order = np.lexsort((pos, sid, -slen, kmer))
     kmer, sid, pos, slen = kmer[order], sid[order], pos[order], slen[order]
 
+    if weights is not None:
+        _swap_center_by_weight(kmer, sid, pos, slen, weights)
+
     # group boundaries
     n = len(kmer)
     rep_k, mem_k, diags, mem_len = [], [], [], []
@@ -151,7 +181,20 @@ def build_pairs(seqs, keys, k: int, alpha: int, x_index: int,
             rep_id = sid[start]
             rep_pos = pos[start]
             rep_len = slen[start]
+            # weighted linclust (SequenceWeights): members above the weight
+            # threshold stay unclaimed so they can center their own cluster
+            # (kmermatcher.cpp:537-545,743-746)
+            skip_w = 0
+            if weights is not None:
+                skip_w = sum(1 for i in range(start + 1, end)
+                             if weights.get(int(sid[i]), 0.0) > weight_thr)
+                if (end - start) - skip_w <= 1:
+                    start = end
+                    continue
             for i in range(start, end):
+                if (weights is not None and i > start
+                        and weights.get(int(sid[i]), 0.0) > weight_thr):
+                    continue
                 diagonal = int(rep_pos) - int(pos[i])
                 can_ext = diagonal < 0 or diagonal > int(rep_len - slen[i])
                 covered = can_be_covered(cov_thr, cov_mode, float(rep_len),

@@ -99,10 +99,18 @@ def kmermatcher(par, command):
         reader.close()
         return 0
 
+    weights = None
+    if par.weights:
+        weights = {}
+        for line in open(par.weights):
+            parts = line.split()
+            if len(parts) >= 2:
+                weights[int(parts[0])] = float(parts[1])
     rep_k, mem_k, diags = km.build_pairs(
         seqs, reader.keys, k, alpha - 1, x_idx, kmer_per_seq,
         par.kmer_per_seq_scale.aa, par.hash_shift, cov_thr, par.cov_mode,
-        par.include_only_extendable, spaced)
+        par.include_only_extendable, spaced, weights=weights,
+        weight_thr=par.weight_thr)
     log.info(f"{len(rep_k)} candidate pairs")
 
     writer = DBWriter(out_path, dbt.DBTYPE_PREFILTER_RES)

@@ -182,6 +182,8 @@ _A("--proteome-rel-sim-thr", "proteome_relative_sim_thr", float, 0.9,
    "bidirectional proteome similarity threshold")
 _A("--proteome-cascaded", "proteome_cascaded_clustering", bool, False,
    "cascaded proteome clustering")
+_A("--cluster-weight-threshold", "weight_thr", float, 0.9,
+   "weight threshold used for cluster priorization")
 _A("--pps-weight-file", "pps_weight_file", str, "",
    "precomputed proteome weight file for representative selection")
 _A("--proteome-weight-file", "proteome_weight_file", str, "",
