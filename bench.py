@@ -32,6 +32,60 @@ def bench_async(fn, args, cells, iters=20, warmup=2):
     return cells * iters / dt / 1e9
 
 
+
+
+def _bench_kmer_prefilter(rng, n_targets=10000, t_len=350, n_queries=16):
+    """Device k-mer prefilter throughput: k-mer match expansions/s on a
+    synthetic target index (the `prefilter` engine; QueryMatcher.cpp:243)."""
+    import time
+
+    import numpy as np
+
+    from mmseqs2_tpu.commands.prefilter_kmer import build_index
+    from mmseqs2_tpu.data.submat import get_submat
+    from mmseqs2_tpu.prefilter.device import DevicePrefilter
+    from mmseqs2_tpu.prefilter.kmer_generator import (KmerGenerator,
+                                                      SubKmerScores)
+
+    seed = get_submat("VTML80.out", 8.0, -0.2)
+    ungapped = get_submat("blosum62.out", 2.0, -0.2)
+    alpha = seed.alphabet_size - 1
+
+    _seqs = rng.integers(0, 20, size=(n_targets, t_len)).astype(np.int64)
+
+    class FakeDB:
+        size = n_targets
+
+        def seq_num(self, i):
+            return _seqs[i]
+
+    k, thr = 6, 112
+    table = build_index(FakeDB(), seed, k, thr, False, 0.9, False, True, "")
+    three = SubKmerScores(seed.sub_matrix, alpha, 3)
+    two = SubKmerScores(seed.sub_matrix, alpha, 2)
+    gen = KmerGenerator(k, alpha, three, two)
+    dev = DevicePrefilter(table, seed, ungapped, thr, k, 300,
+                          generator=gen)
+    queries = [rng.integers(0, 20, size=t_len).astype(np.int64)
+               for _ in range(n_queries)]
+    idents = [-1] * n_queries
+    # count match expansions = sum of posting-list lengths hit per query
+    total_matches = 0
+    for q in queries:
+        from mmseqs2_tpu.ops.encode import calc_local_aa_bias
+        cb = calc_local_aa_bias(q, ungapped.sub_matrix.astype(np.int32),
+                                ungapped.pback, 1.0)
+        codes, qpos = dev.query_triples(q, cb, gen)
+        starts = table.offsets[codes]
+        total_matches += int((table.offsets[codes + 1] - starts).sum())
+    dev.match_batch(queries, idents)          # warmup/compile
+    t0 = time.perf_counter()
+    iters = 3
+    for _ in range(iters):
+        r = dev.match_batch(queries, idents)
+    dt = time.perf_counter() - t0
+    return total_matches * iters / dt
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -62,6 +116,16 @@ def main():
             (dp_prof, dp_tgt), cells)
     print(f"gapless prefilter scan: {gapless:.1f} GCUPS/chip",
           file=sys.stderr)
+
+    # secondary metric (stderr): device k-mer prefilter throughput —
+    # query-position x posting-list match expansions per second on a
+    # synthetic 50k-sequence target index (the engine behind `prefilter`)
+    try:
+        kmps = _bench_kmer_prefilter(rng)
+        print(f"kmer prefilter: {kmps / 1e6:.1f} M matches/s",
+              file=sys.stderr)
+    except Exception as e:        # never let the side metric kill bench
+        print(f"kmer prefilter bench skipped: {e}", file=sys.stderr)
     print(json.dumps({
         "metric": "sw_gcups",
         "value": round(gcups, 3),

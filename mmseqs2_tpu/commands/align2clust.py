@@ -260,7 +260,7 @@ def align2clust(par, command):
                 records.extend(staged)
             members.append(tid)
 
-        if i not in [m for m in members]:
+        if i not in members:
             members.insert(0, i)
         for m in members:
             assigned[m] = rep_key

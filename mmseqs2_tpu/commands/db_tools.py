@@ -36,8 +36,6 @@ def createsubdb(par, command):
     """Subset a DB by a key file; sequence-DB ancillary files (headers,
     lookup, source) are symlinked like the reference's
     DBReader::softlinkDb(SEQUENCE_ANCILLARY) (createsubdb.cpp)."""
-    import os
-
     subset, db, out = par.filenames[:3]
     keys = _read_key_file(subset)
     with DBReader(db) as r, \

@@ -31,9 +31,6 @@ from ..workflow import Workflow
 from .align_cmd import check_criteria
 from .common import EncodedDB, fast_atoi, get_sub_mat, open_seq_db
 
-PROTEOME_TYPE = dbt.DBTYPE_GENERIC_DB | 0  # extended SET bit added below
-
-
 def _read_source(db_path):
     """source id -> file name."""
     out = {}
