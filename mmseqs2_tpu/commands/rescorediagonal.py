@@ -3,7 +3,7 @@
 Reference: src/alignment/rescorediagonal.cpp + DistanceCalculator.h.
 Modes: 0 HAMMING (count identical ASCII bytes), 1 SUBSTITUTION (best local
 ungapped score), 2 ALIGNMENT (local ungapped with start/end), 3 END_TO_END,
-4 WINDOW_QUALITY (not yet implemented). Scores use an ASCII-indexed 2-bit
+4 WINDOW_QUALITY (longest <=5-errors-per-20 window stretch). Scores use an ASCII-indexed 2-bit
 substitution matrix (createAsciiSubMat), i.e. raw sequence bytes, so masked
 lowercase letters score like their uppercase forms but differ under HAMMING.
 
@@ -27,6 +27,47 @@ RESCORE_HAMMING = 0
 RESCORE_SUBSTITUTION = 1
 RESCORE_ALIGNMENT = 2
 RESCORE_END_TO_END = 3
+RESCORE_WINDOW_QUALITY = 4
+
+
+def window_quality_best(q_win, t_win, col, window_size=20,
+                        history_errors=5):
+    """computeWindowQualitySubstitutionStartEndDistance
+    (DistanceCalculator.h:222-271): longest stretch whose every
+    `window_size`-residue window holds <= `history_errors` mismatches;
+    score is the substitution sum over [start, end) (end EXCLUSIVE,
+    reproducing the reference's loop bound)."""
+    length = len(q_win)
+    window = 0
+    window_mask = 1 << (window_size - 1)
+    curr_errors = 0
+    max_len = 0
+    curr_len = 0
+    max_end = max_start = 0
+    star = ord("*")
+    first = 1 if length and (q_win[0] == star or t_win[0] == star) else 0
+    last = length - 1
+    if last > 0 and (q_win[last] == star or t_win[last] == star):
+        last -= 1
+    start_pos = first
+    match = q_win == t_win
+    for pos in range(first, last + 1):
+        if window & window_mask:
+            curr_errors -= 1
+        window = (window << 1) & ((1 << window_size) - 1)
+        if not match[pos]:
+            window |= 1
+            curr_errors += 1
+        curr_len += 1
+        if pos >= window_size - 1 and curr_errors > history_errors:
+            start_pos = pos - window_size + 2
+            curr_len = window_size - 1
+        if curr_len > max_len:
+            max_start = start_pos
+            max_end = pos
+            max_len = curr_len
+    score = int(col[max_start:max_end].sum()) if max_end > max_start else 0
+    return score, max_start, max_end
 
 
 def ascii_submat(submat):
@@ -122,7 +163,8 @@ def rescorediagonal(par, command):
                                                 par.cov_thr, 0.99)
 
     out_type = dbt.DBTYPE_ALIGNMENT_RES if mode in (
-        RESCORE_ALIGNMENT, RESCORE_END_TO_END) else (
+        RESCORE_ALIGNMENT, RESCORE_END_TO_END,
+        RESCORE_WINDOW_QUALITY) else (
         dbt.DBTYPE_PREFILTER_REV_RES if rev_pref
         else dbt.DBTYPE_PREFILTER_RES)
     writer = DBWriter(out_path, out_type)
@@ -181,11 +223,15 @@ def rescorediagonal(par, command):
                             distance = max(0, int((c - pm).max()))
                         else:
                             distance = 0
+                    elif mode == RESCORE_WINDOW_QUALITY:
+                        distance, start, end = window_quality_best(qw, tw,
+                                                                   col)
                     else:
                         distance, start, end = local_best(col)
                     evalue = evaluer.compute_evalue(distance, q_len)
                     bit_score = int(evaluer.compute_bit_score(distance) + 0.5)
-                    if mode in (RESCORE_ALIGNMENT, RESCORE_END_TO_END):
+                    if mode in (RESCORE_ALIGNMENT, RESCORE_END_TO_END,
+                                RESCORE_WINDOW_QUALITY):
                         if mode == RESCORE_END_TO_END:
                             start, end = 0, n - 1
                             distance = max(int(col.sum()), 0)
@@ -208,7 +254,7 @@ def rescorediagonal(par, command):
                                 aln_len)
                         q_cov = autil.compute_cov(q_s, q_e, q_len)
                         t_cov = autil.compute_cov(t_s, t_e, t_len)
-                        bt = f"{aln_len}M" if par.add_backtrace else ""
+                        bt = "M" * aln_len if par.add_backtrace else ""
                         result = AlnResult(
                             db_key=key, score=bit_score, raw_score=distance,
                             seq_id=float(seq_id), eval=evalue,
@@ -229,7 +275,8 @@ def rescorediagonal(par, command):
                                  and curr_score_per_col >= score_per_col_thr)
                 if is_identity or has_to_filter or (
                         has_aln_len and has_cov and has_seq_id and has_eval):
-                    if mode in (RESCORE_ALIGNMENT, RESCORE_END_TO_END):
+                    if mode in (RESCORE_ALIGNMENT, RESCORE_END_TO_END,
+                                RESCORE_WINDOW_QUALITY):
                         aln_results.append(result)
                     elif mode == RESCORE_SUBSTITUTION:
                         out_sc = -bit_score if is_rev else bit_score
