@@ -130,7 +130,8 @@ def build_pairs(seqs, keys, k: int, alpha: int, x_index: int,
                 kmers_per_seq: int, kmers_per_seq_scale: float,
                 hash_shift: int, cov_thr: float, cov_mode: int,
                 include_only_extendable: bool, spaced: bool = False,
-                weights=None, weight_thr: float = 0.9):
+                weights=None, weight_thr: float = 0.9,
+                hash_range=None):
     """Collect entries, group by kmer, emit center->member pairs.
 
     seqs: list of reduced numeric sequences in local id order; keys: db keys.
@@ -140,23 +141,31 @@ def build_pairs(seqs, keys, k: int, alpha: int, x_index: int,
     from ..prefilter.kmer_index import pattern_offsets
     offsets, span = pattern_offsets(k, spaced)
     ks, ids, poss, lens = [], [], [], []
+    lo, hi = hash_range if hash_range is not None else (0, 65535)
     for lid, seq in enumerate(seqs):
         L = len(seq)
         considered = int(kmers_per_seq - 1 + kmers_per_seq_scale * L)
-        kmers, pos, _ = select_kmers(seq, k, alpha, x_index,
-                                     considered, hash_shift, offsets, span)
+        kmers, pos, hashes = select_kmers(seq, k, alpha, x_index,
+                                          considered, hash_shift, offsets,
+                                          span)
+        if hash_range is not None:
+            # split admission by hash range AFTER the per-sequence
+            # threshold (fillKmerPositionArray hashStartRange gate)
+            keep = (hashes >= lo) & (hashes <= hi)
+            kmers, pos = kmers[keep], pos[keep]
         key = int(keys[lid])
         ks.append(kmers)
         ids.append(np.full(len(kmers), key, dtype=np.int64))
         poss.append(pos)
         lens.append(np.full(len(kmers), L, dtype=np.int64))
         # whole-sequence hash entry
-        ks.append(np.array([xxh64_u64(np.array([poly_hash(seq)],
-                                               dtype=np.uint64),
-                                      hash_shift)[0]], dtype=np.uint64))
-        ids.append(np.array([key], dtype=np.int64))
-        poss.append(np.array([0], dtype=np.int64))
-        lens.append(np.array([L], dtype=np.int64))
+        seq_hash = xxh64_u64(np.array([poly_hash(seq)], dtype=np.uint64),
+                             hash_shift)[0]
+        if hash_range is None or lo <= int(seq_hash) & 0xFFFF <= hi:
+            ks.append(np.array([seq_hash], dtype=np.uint64))
+            ids.append(np.array([key], dtype=np.int64))
+            poss.append(np.array([0], dtype=np.int64))
+            lens.append(np.array([L], dtype=np.int64))
     kmer = np.concatenate(ks) if ks else np.zeros(0, np.uint64)
     sid = np.concatenate(ids) if ids else np.zeros(0, np.int64)
     pos = np.concatenate(poss) if poss else np.zeros(0, np.int64)

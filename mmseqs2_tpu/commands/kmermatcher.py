@@ -15,6 +15,28 @@ from ..utils import log
 from .common import open_seq_db
 
 
+def _parse_mem_limit(text):
+    t = str(text).strip().upper()
+    if t in ("0", ""):
+        return 0
+    mult = 1
+    if t[-1] in "KMGT":
+        mult = {"K": 1 << 10, "M": 1 << 20, "G": 1 << 30,
+                "T": 1 << 40}[t[-1]]
+        t = t[:-1]
+    return int(float(t) * mult)
+
+
+def _memory_splits(par, seqs, kmer_per_seq):
+    limit = _parse_mem_limit(par.split_memory_limit)
+    if limit <= 0:
+        return 1
+    scale = par.kmer_per_seq_scale.aa
+    total = sum(int(kmer_per_seq - 1 + scale * len(s)) + 1 for s in seqs)
+    need = total * 32      # 4 int64 columns per entry
+    return max(1, -(-need // limit))
+
+
 def kmer_length_and_alphabet(par, residues: int):
     """setKmerLengthAndAlphabet for amino-acid DBs."""
     k = par.kmer_size
@@ -106,11 +128,26 @@ def kmermatcher(par, command):
             parts = line.split()
             if len(parts) >= 2:
                 weights[int(parts[0])] = float(parts[1])
-    rep_k, mem_k, diags = km.build_pairs(
-        seqs, reader.keys, k, alpha - 1, x_idx, kmer_per_seq,
-        par.kmer_per_seq_scale.aa, par.hash_shift, cov_thr, par.cov_mode,
-        par.include_only_extendable, spaced, weights=weights,
-        weight_thr=par.weight_thr)
+    # memory-bounded hash-range splits (kmermatcher.cpp:1441-1470
+    # setupKmerSplits): each split holds complete k-mer groups, so the
+    # merged pair union is identical to the unsplit run
+    n_splits = _memory_splits(par, seqs, kmer_per_seq)
+    parts = []
+    step = 65536 // n_splits
+    for si in range(n_splits):
+        lo = si * step
+        hi = 65535 if si == n_splits - 1 else (si + 1) * step - 1
+        parts.append(km.build_pairs(
+            seqs, reader.keys, k, alpha - 1, x_idx, kmer_per_seq,
+            par.kmer_per_seq_scale.aa, par.hash_shift, cov_thr,
+            par.cov_mode, par.include_only_extendable, spaced,
+            weights=weights, weight_thr=par.weight_thr,
+            hash_range=None if n_splits == 1 else (lo, hi)))
+    rep_k = np.concatenate([p[0] for p in parts])
+    mem_k = np.concatenate([p[1] for p in parts])
+    diags = np.concatenate([p[2] for p in parts])
+    if n_splits > 1:
+        log.info(f"Processed k-mers in {n_splits} hash-range splits")
     log.info(f"{len(rep_k)} candidate pairs")
 
     writer = DBWriter(out_path, dbt.DBTYPE_PREFILTER_RES)

@@ -28,3 +28,22 @@ def test_weighted_kmermatcher_parity(tmp_path):
         for i in range(b.size):
             k = b.get_db_key(i)
             assert a.get_data(a.get_id(k)) == b.get_data(i), k
+
+
+def test_kmermatcher_split_invariance(tmp_path):
+    """--split-memory-limit hash-range splits must not change output."""
+    cmd = get_command("kmermatcher")
+    outs = []
+    for name, extra in (("plain", []),
+                        ("split", ["--split-memory-limit", "200K"])):
+        out = str(tmp_path / name)
+        par = Params().parse([str(TOY / "qdb"), out, "--threads", "1",
+                              "--linclust-version", "1"] + extra,
+                             cmd, cmd.min_db, cmd.max_db)
+        assert cmd.load()(par, cmd) == 0
+        outs.append(out)
+    with DBReader(outs[0]) as a, DBReader(outs[1]) as b:
+        assert a.size == b.size
+        for i in range(b.size):
+            k = b.get_db_key(i)
+            assert a.get_data(a.get_id(k)) == b.get_data(i), k
