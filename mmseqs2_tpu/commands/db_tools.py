@@ -112,21 +112,48 @@ def createtsv(par, command):
 def mergedbs(par, command):
     """Merge entries of multiple DBs per key: out[key] = concat(db_i[key]).
 
-    Reference src/util/mergedbs.cpp: entries of the first DB define the order.
+    Reference src/util/mergedbs.cpp: entries of the first DB define the
+    order. --prefixes prepends per-input prefixes, --merge-stop-empty stops
+    a key's merge at the first empty input, --merge-filter-target keeps
+    only merged lines whose target key appears in the db1 entry (each
+    target emitted at most once, mergedbs.cpp:78-93).
     """
     db = par.filenames[0]
     out = par.filenames[1]
     ins = par.filenames[2:]
     readers = [DBReader(p) for p in ins]
     base = DBReader(db)
+    prefixes = par.prefixes.split(",") if par.prefixes else []
+    filter_target = bool(par.merge_filter_target)
     with DBWriter(out, readers[0].base_type, readers[0].extended_type) as w:
         for i in range(base.size):
             key = base.get_db_key(i)
+            allowed = None
+            if filter_target:
+                allowed = set()
+                for line in base.get_data(i).split(b"\n"):
+                    if line.strip():
+                        allowed.add(fast_atoi(line.split()[0]))
             chunks = []
-            for r in readers:
+            for fi, r in enumerate(readers):
                 j = r.get_id(key)
-                if j >= 0:
-                    chunks.append(r.get_data(j))
+                data = r.get_data(j) if j >= 0 else None
+                if data is None or data in (b"", b"\n"):
+                    if par.merge_stop_empty:
+                        break
+                    continue
+                if fi < len(prefixes):
+                    chunks.append(prefixes[fi].encode())
+                if allowed is None:
+                    chunks.append(data)
+                else:
+                    for line in data.split(b"\n"):
+                        if not line.strip():
+                            continue
+                        t = fast_atoi(line.split()[0])
+                        if t in allowed:
+                            chunks.append(line + b"\n")
+                            allowed.discard(t)
             w.write(key, b"".join(chunks))
     for r in readers:
         r.close()

@@ -107,7 +107,8 @@ def proteomecluster(par, command):
     sources = _read_source(seq_path)
     clu = DBReader(clu_path)
 
-    include_aln = bool(par.include_align_files)
+    include_aln = bool(par.include_align_files
+                       or par.proteome_include_align_files)
     if par.add_backtrace:
         par.set("alignment_mode", 3)
     evaluer = EvalueComputation(reader.total_residues(), submat,

@@ -176,21 +176,21 @@ _A("--seq-id-mode", "seq_id_mode", int, 0,
 _A("--alt-ali", "alt_align", int, 0, "alternative alignments")
 _A("--mact", "mact", float, 0.035, "maximum accuracy threshold (fwbw)")
 _A("--tau", "tau", float, 0.9, "context state pseudo count mixture")
-_A("--proteome-sim-thr", "proteome_sim_thr", float, 0.9,
+_A("--proteome-similarity", "proteome_sim_thr", float, 0.9,
    "unidirectional proteome similarity threshold")
-_A("--proteome-rel-sim-thr", "proteome_relative_sim_thr", float, 0.9,
+_A("--proteome-relative-similarity", "proteome_relative_sim_thr", float, 0.9,
    "bidirectional proteome similarity threshold")
-_A("--proteome-cascaded", "proteome_cascaded_clustering", bool, False,
+_A("--proteome-cascaded-clustering", "proteome_cascaded_clustering", bool, False,
    "cascaded proteome clustering")
 _A("--cluster-weight-threshold", "weight_thr", float, 0.9,
    "weight threshold used for cluster priorization")
 _A("--pps-weight-file", "pps_weight_file", str, "",
    "precomputed proteome weight file for representative selection")
-_A("--proteome-weight-file", "proteome_weight_file", str, "",
+_A("--proteome-weights", "proteome_weight_file", str, "",
    "proteome weight file for representative selection")
-_A("--weight-cluster-count", "weight_cluster_count", float, 0.0,
+_A("--weight-clustercount", "weight_cluster_count", float, 0.0,
    "cluster-count weight for proteome representative selection")
-_A("--proteome-weight-cluster-count", "proteome_weight_cluster_count",
+_A("--proteome-weight-clustercount", "proteome_weight_cluster_count",
    float, 0.0, "cluster-count weight (proteome variant)")
 _A("--cluster-module", "cluster_module", int, 0,
    "0: linclust, 1: cluster (easy-proteomecluster)")
@@ -487,3 +487,85 @@ class Params:
 
 def _is_number(tok: str) -> bool:
     return bool(re.match(r"^-[0-9.]", tok))
+
+_A("--proteome-include-align-files", "proteome_include_align_files", bool,
+   False, "proteomecluster: also write the protein alignment DB")
+_A("--cluster-version", "cluster_version", int, 1, "clustering version")
+_A("--set-mode", "set_mode", bool, False, "set mode (linclust)")
+_A("--clust-hash", "clust_hash", bool, False,
+   "use whole-sequence hashing for clustering")
+_A("--use-parallelism", "use_parallelism", bool, False,
+   "parallel write-buffer dataflow (accepted; the device pipeline always "
+   "batches)")
+_A("--need-write-buffer", "need_write_buffer", bool, False,
+   "write-buffer dataflow (accepted for CLI parity)")
+_A("--switch-consensus-rep", "switch_consensus_rep", bool, False,
+   "switch cluster representatives to the consensus sequence")
+_A("--translation-mode", "translation_mode", int, 0,
+   "0: orfs->translate, 1: full reading frames")
+_A("--add-orf-stop", "add_orf_stop", bool, False,
+   "add stop codon '*' at the ORF ends")
+_A("--disk-space-limit", "disk_space_limit", str, "0",
+   "max disk usage for tmp files")
+_A("--local-tmp", "local_tmp", str, "", "local per-node tmp directory")
+_A("--mpi-runner", "runner", str, "",
+   "multi-host launcher prefix (reference: mpirun; here: informational)")
+_A("--gpu-server", "gpu_server", int, 0,
+   "use a running gpuserver for device scans")
+_A("--gpu-server-wait-timeout", "gpu_server_wait_timeout", int, 600,
+   "seconds to wait for the device server")
+_A("--min-sequences", "min_sequences", int, 1,
+   "minimum members for profile conversion")
+_A("--max-sequences", "max_sequences", int, 2147483647,
+   "maximum members for profile conversion")
+_A("--full-header", "full_header", bool, False,
+   "use the full header in output")
+_A("--first-seq-as-repr", "first_seq_as_repr", bool, False,
+   "use the first sequence of a cluster as its representative")
+_A("--pick-n-sim-kmer", "pick_n_best_kmer", int, 1,
+   "pick N similar k-mers per position (profile linclust)")
+
+_A("--check-compatible", "check_compatible", int, 0,
+   "0: always recreate index, 1: recreate only if needed, 2: fail if "
+   "incompatible")
+_A("--column-to-take", "column_to_take", int, -1,
+   "column to take in join mode (-1: whole line)")
+_A("--create-lookup", "create_lookup", int, 0,
+   "create a database lookup file")
+_A("--exhaustive-search-filter", "exhaustive_search_filter", int, 0,
+   "filter results during exhaustive search")
+_A("--greedy-best-hits", "greedy_best_hits", bool, False,
+   "choose best hits greedily to cover the query (summarizeresult)")
+_A("--hh-format", "hh_format", bool, False,
+   "format singleton entries for hhsuite (convertmsa)")
+_A("--id-mode", "id_mode", int, 0,
+   "select entries by 0: db keys, 1: FASTA identifiers (createsubdb)")
+_A("--idx-entry-type", "idx_entry_type", int, 0,
+   "0: sequence, 1: src sequence, 2: header, 3: src header")
+_A("--idx-seq-src", "idx_seq_src", int, 0,
+   "0: auto, 1: split/translated sequences, 2: input sequences")
+_A("--index-dbsuffix", "index_dbsuffix", str, "",
+   "db suffix for the index (cluster dbs)")
+_A("--index-subset", "index_subset", int, 0,
+   "specialized index subset bits")
+_A("--merge-filter-target", "merge_filter_target", bool, False,
+   "mergedbs: keep merged lines whose target key is in the db1 entry")
+_A("--merge-stop-empty", "merge_stop_empty", bool, False,
+   "mergedbs: stop merging after an empty entry")
+_A("--neff", "neff", float, 1.0,
+   "Neff included into context state profile")
+_A("--prefixes", "prefixes", str, "",
+   "mergedbs: comma separated prefixes for each entry")
+_A("--pseudo-cnt-mode", "pseudo_cnt_mode", int, 0,
+   "0: substitution-matrix or 1: context-specific pseudocounts")
+_A("--result-direction", "result_direction", int, 0,
+   "offsetalignment: 0: query, 1: target centric results")
+_A("--target-column", "target_column", int, 1,
+   "swapdb: target column (0 if no target id)")
+_A("--touch-lock", "touch_lock", bool, False,
+   "touchdb: keep the database resident until killed")
+_A("--use-header-file", "use_header_file", bool, False,
+   "map entry keys through the header DB")
+_A("--gap-pc", "gap_pc", int, 10,
+   "pseudo count for position-specific gap penalties (accepted; gap "
+   "position scoring is not compiled in the reference default either)")
