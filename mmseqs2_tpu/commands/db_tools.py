@@ -14,6 +14,7 @@ from ..db import dbtype as dbt
 from ..db.reader import DBReader
 from ..db.writer import DBWriter, remove_db, write_lookup, write_source
 from ..utils import log
+from .common import fast_atoi
 
 DB_SUFFIXES = ["", ".index", ".dbtype", ".lookup", ".source"]
 

@@ -96,3 +96,26 @@ def test_unpackdb(tmp_path):
     db_tools.unpackdb(_params([GOLDEN / "tardb", outdir2],
                               unpack_name_mode=0), None)
     assert sorted(p.name for p in outdir2.iterdir()) == ["0", "1", "2"]
+
+
+def test_mergedbs_filter_target(tmp_path):
+    """--merge-filter-target parity vs reference golden (tests/golden/mf):
+    mergedbs casclu out aln pref --merge-filter-target 1."""
+    from mmseqs2_tpu.params import Params
+    from mmseqs2_tpu.registry import get_command
+    from mmseqs2_tpu.db.reader import DBReader
+    import pathlib
+
+    G = pathlib.Path(__file__).parent / "golden"
+    out = str(tmp_path / "m")
+    cmd = get_command("mergedbs")
+    par = Params().parse([str(G / "toy" / "casclu"), out,
+                          str(G / "toy" / "aln"), str(G / "toy" / "pref"),
+                          "--merge-filter-target", "1"],
+                         cmd, cmd.min_db, cmd.max_db)
+    assert cmd.load()(par, cmd) == 0
+    with DBReader(out) as a, DBReader(str(G / "mf" / "refm")) as b:
+        assert a.size == b.size
+        for i in range(b.size):
+            k = b.get_db_key(i)
+            assert a.get_data(a.get_id(k)) == b.get_data(i), k
