@@ -149,11 +149,17 @@ def kmersearch(par, command):
     matched = (t_kmer[ti] == q_kmer) if hit else np.zeros(0, bool)
     qi = np.nonzero(matched)[0]
     ti = ti[matched]
-    # result direction TARGET (default): group key = target id,
-    # hit id = query id, diagonal = targetPos - queryPos
-    rep = t_id[ti]
-    hid = q_id[qi]
-    diag = (t_pos[ti] - q_pos[qi]).astype(np.int64)
+    # --result-direction: TARGET (1, default) groups by target id with
+    # hit = query id and diagonal targetPos - queryPos; QUERY (0) swaps
+    # roles (kmersearch.cpp:301-320)
+    if par.result_direction == 1:
+        rep = t_id[ti]
+        hid = q_id[qi]
+        diag = (t_pos[ti] - q_pos[qi]).astype(np.int64)
+    else:
+        rep = q_id[qi]
+        hid = t_id[ti]
+        diag = (q_pos[qi] - t_pos[ti]).astype(np.int64)
     order = np.lexsort((diag, hid, rep))
     rep, hid, diag = rep[order], hid[order], diag[order]
 

@@ -558,8 +558,8 @@ _A("--prefixes", "prefixes", str, "",
    "mergedbs: comma separated prefixes for each entry")
 _A("--pseudo-cnt-mode", "pseudo_cnt_mode", int, 0,
    "0: substitution-matrix or 1: context-specific pseudocounts")
-_A("--result-direction", "result_direction", int, 0,
-   "offsetalignment: 0: query, 1: target centric results")
+_A("--result-direction", "result_direction", int, 1,
+   "result is 0: query, 1: target centric (kmersearch)")
 _A("--target-column", "target_column", int, 1,
    "swapdb: target column (0 if no target id)")
 _A("--touch-lock", "touch_lock", bool, False,
