@@ -36,9 +36,19 @@ def easy_search(par, command):
     else:
         wf.step(tdb, "createdb", [t_in, tdb], par)
 
+    # --greedy-best-hits needs backtraces for summarizeresult
+    # (EasySearch.cpp:78-84)
+    if par.greedy_best_hits and not par.add_backtrace:
+        par.set("add_backtrace", True)
+
     aln = wf.path("result")
     search_tmp = wf.path("search_tmp")
     wf.step(aln, "search", [qdb, tdb, aln, search_tmp], par)
+
+    if par.greedy_best_hits:
+        best = wf.path("result_best")
+        wf.step(best, "summarizeresult", [aln, best], par)
+        aln = best
 
     from ..registry import get_command
     from ..params import Params
