@@ -72,22 +72,37 @@ def result2repseq(par, command):
 
 
 def createseqfiledb(par, command):
-    """Per-cluster FASTA files as a DB (createseqfiledb.cpp)."""
+    """Per-cluster FASTA files as a DB (createseqfiledb.cpp):
+    --min-sequences/--max-sequences bound the cluster sizes written;
+    --hh-format renders singleton clusters as hhsuite a3m stubs
+    (#header, _consensus copy, then the member)."""
     seq_path, clu_path, out_path = par.filenames[:3]
     seq = DBReader(seq_path)
     hdr = DBReader(seq_path + "_h")
     clu = DBReader(clu_path)
     with DBWriter(out_path, dbt.DBTYPE_GENERIC_DB) as w:
         for i in range(clu.size):
+            keys = [fast_atoi(line) for line in clu.get_data(i).split(b"\n")
+                    if line]
+            if len(keys) < par.min_sequences \
+                    or len(keys) > par.max_sequences:
+                continue
             parts = []
-            for line in clu.get_data(i).split(b"\n"):
-                if not line:
-                    continue
-                key = fast_atoi(line)
-                hid = hdr.get_id(key)
-                sid = seq.get_id(key)
-                parts.append(b">" + hdr.get_data(hid))
-                parts.append(seq.get_data(sid))
+            for n, key in enumerate(keys):
+                header = hdr.get_data(hdr.get_id(key))
+                body = seq.get_data(seq.get_id(key))
+                if n == 0 and par.hh_format:
+                    # hhsuite a3m stub for the cluster head
+                    # (createseqfiledb.cpp:73-87)
+                    accession = header.split()[0] if header.strip() else b""
+                    parts.append(b"#" + header)
+                    parts.append(b">" + accession + b"_consensus\n")
+                    parts.append(body)
+                    parts.append(b">" + header)
+                    parts.append(body)
+                else:
+                    parts.append(b">" + header)
+                    parts.append(body)
             w.write(clu.get_db_key(i), b"".join(parts))
     for r in (seq, hdr, clu):
         r.close()

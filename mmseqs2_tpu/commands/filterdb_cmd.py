@@ -188,7 +188,15 @@ def filterdb(par, command):
             elif mode == JOIN_DB:
                 jid = helper.get_id(fast_atoi(colval))
                 if jid >= 0:
-                    out_line = line + b"\t" + helper.get_data(jid)
+                    joined = helper.get_data(jid)
+                    if par.column_to_take != -1:
+                        # --column-to-take: append just one column of the
+                        # joined entry (filterdb.cpp:383-395)
+                        parts_j = joined.split()
+                        joined = (parts_j[par.column_to_take] + b"\n"
+                                  if par.column_to_take < len(parts_j)
+                                  else b"\n")
+                    out_line = line + b"\t" + joined
                     nomatch = 0
                 else:
                     nomatch = 1

@@ -91,13 +91,15 @@ def result2flat(par, command):
 
 
 def convert2fasta(par, command):
-    """Sequence DB -> FASTA (convert2fasta.cpp)."""
+    """Sequence DB -> FASTA (convert2fasta.cpp); --use-header-file iterates
+    the header DB's entry order instead of the body's."""
     in_path, out_path = par.filenames[:2]
     db = DBReader(in_path)
     dbh = DBReader(in_path + "_h")
+    src = dbh if par.use_header_file else db
     with open(out_path, "w") as f:
-        for i in range(db.size):
-            key = db.get_db_key(i)
+        for i in range(src.size):
+            key = src.get_db_key(i)
             header = dbh.get_data(dbh.get_id(key))[:-1]
             body = db.get_data(db.get_id(key))[:-1]
             f.write(">" + header.decode())

@@ -119,3 +119,24 @@ def test_mergedbs_filter_target(tmp_path):
         for i in range(b.size):
             k = b.get_db_key(i)
             assert a.get_data(a.get_id(k)) == b.get_data(i), k
+
+
+def test_createseqfiledb_hhformat(tmp_path):
+    """--hh-format parity vs reference golden (tests/golden/csf)."""
+    from mmseqs2_tpu.params import Params
+    from mmseqs2_tpu.registry import get_command
+    from mmseqs2_tpu.db.reader import DBReader
+    import pathlib
+
+    G = pathlib.Path(__file__).parent / "golden"
+    out = str(tmp_path / "c")
+    cmd = get_command("createseqfiledb")
+    par = Params().parse([str(G / "toy" / "qdb"),
+                          str(G / "toy" / "casclu"), out,
+                          "--hh-format", "1"], cmd, cmd.min_db, cmd.max_db)
+    assert cmd.load()(par, cmd) == 0
+    with DBReader(out) as a, DBReader(str(G / "csf" / "refc")) as b:
+        assert a.size == b.size
+        for i in range(b.size):
+            k = b.get_db_key(i)
+            assert a.get_data(a.get_id(k)) == b.get_data(i), k
