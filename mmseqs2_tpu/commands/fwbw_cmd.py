@@ -14,7 +14,7 @@ from ..align.aligner import AlnResult, sort_results
 from ..db import dbtype as dbt
 from ..db.reader import DBReader
 from ..db.writer import DBWriter
-from ..ops.fwbw import fwbw_align
+from ..ops.fwbw import fwbw_align_batch
 from ..utils import log
 from .align_cmd import check_criteria
 from .common import EncodedDB, fast_atoi, get_sub_mat, open_seq_db
@@ -46,17 +46,25 @@ def fwbw(par, command):
             q_num = qdb.seq_num(qid)
             qlen = len(q_num)
             results = []
+            t_keys, t_nums, smats = [], [], []
             for line in alns.get_data(i).split(b"\n"):
                 if not line:
                     continue
                 tkey = fast_atoi(line.split(b"\t")[0])
                 tid = treader.get_id(tkey)
                 t_num = tdb.seq_num(tid)
+                # rows = target, cols = query (Fwbw.cpp initProfile)
+                t_keys.append(tkey)
+                t_nums.append(t_num)
+                smats.append(mat[t_num[:, None], q_num[None, :]])
+            if not t_keys:
+                writer.write(key, b"")
+                continue
+            batch = fwbw_align_batch(
+                smats, [len(t) for t in t_nums],
+                [qlen] * len(t_nums), go=go, ge=ge, temp=temp, mact=mact)
+            for tkey, t_num, a in zip(t_keys, t_nums, batch):
                 tlen = len(t_num)
-                # rows = target, cols = query (Fwbw.cpp initProfile/initAlignment)
-                smat = mat[t_num[:, None], q_num[None, :]]
-                a = fwbw_align(smat, tlen, qlen, go=go, ge=ge, temp=temp,
-                               mact=mact)
                 bt = a["cigar"]
                 aln_len = len(bt)
                 aa_ids = sum(

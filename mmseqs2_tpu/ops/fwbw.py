@@ -235,3 +235,71 @@ def fwbw_oracle(score_matrix, go=-10.0, ge=-2.0, temp=1.0):
     zb_ = direction(es[::-1, ::-1])[::-1, ::-1]
     total = zf_.sum()
     return zf_ * zb_ / (es * total)
+
+
+@functools.partial(jax.jit, static_argnames=("go", "ge", "temp", "mact"))
+def _fwbw_batch(S, tlens, qlens, *, go, ge, temp, mact):
+    """vmapped P + MAC over a (B, T, Q) bucket of score matrices."""
+    def one(s, tl, ql):
+        P = _fwbw_p(s, tl, ql, go=go, ge=ge, temp=temp)
+        bt, best, bi, bj = _mac(P, tl, ql, mact=mact)
+        return bt, best, bi, bj, jnp.max(P)
+
+    return jax.vmap(one)(S, tlens, qlens)
+
+
+def fwbw_align_batch(score_mats, tlens, qlens, go=-10.0, ge=-2.0,
+                     temp=1.0, mact=0.035):
+    """Batched fwbw over same-bucket pairs; returns a list of dicts like
+    fwbw_align. The P/MAC device work runs as ONE vmapped computation
+    (bigger MXU batches, one compile per (T, Q) bucket)."""
+    B = len(score_mats)
+    T = _bucket(max(int(t) for t in tlens))
+    Q = _bucket(max(int(q) for q in qlens))
+    S = np.full((B, T, Q), FLT_MIN_EXP, np.float32)
+    for b, m in enumerate(score_mats):
+        S[b, :m.shape[0], :m.shape[1]] = m
+    bts, bests, bis, bjs, maxps = _fwbw_batch(
+        jnp.asarray(S), jnp.asarray(np.asarray(tlens, np.int32)),
+        jnp.asarray(np.asarray(qlens, np.int32)),
+        go=float(go), ge=float(ge), temp=float(temp), mact=float(mact))
+    bts = np.asarray(bts)
+    bests = np.asarray(bests)
+    bis = np.asarray(bis)
+    bjs = np.asarray(bjs)
+    maxps = np.asarray(maxps)
+    out = []
+    for b in range(B):
+        bt = bts[b]
+        i, j = int(bis[b]), int(bjs[b])
+        q_end, t_end = j - 1, i - 1
+        cigar = []
+        pairs = []
+        q_start, t_start = q_end, t_end
+        while i > 0 and j > 0:
+            state = bt[i - 1, j - 1]
+            if state == M:
+                i -= 1
+                j -= 1
+                q_start, t_start = j, i
+                cigar.append("M")
+                pairs.append((i, j))
+            elif state == I:
+                j -= 1
+                cigar.append("I")
+            elif state == D:
+                i -= 1
+                cigar.append("D")
+            else:
+                break
+        while cigar and cigar[-1] != "M":
+            cigar.pop()
+        cigar.reverse()
+        out.append({
+            "cigar": "".join(cigar),
+            "q_start": q_start, "q_end": q_end,
+            "t_start": t_start, "t_end": t_end,
+            "score_mac": float(bests[b]), "max_p": float(maxps[b]),
+            "match_pairs": pairs,
+        })
+    return out
