@@ -250,6 +250,21 @@ def prefilter_kmer(par, command):
         import jax
         use_device = ("device" if jax.default_backend() != "cpu"
                       else "host")
+    # --taxon-list: QueryMatcherTaxonomyHook — filter double-diagonal
+    # candidates by a taxonomy expression over the target mapping
+    # (QueryMatcherTaxonomyHook.h:40-58); runs on the host oracle path
+    taxon_mask = None
+    if par.taxon_list:
+        from ..taxonomy.ncbi import (MappingReader, NcbiTaxonomy,
+                                     TaxonomyExpression)
+        taxdb = NcbiTaxonomy.open_taxonomy(tdb_path)
+        mapping = MappingReader(tdb_path)
+        texpr = TaxonomyExpression(par.taxon_list, taxdb)
+        taxon_mask = np.zeros(treader.size, dtype=bool)
+        for tid_ in range(treader.size):
+            tax = mapping.lookup(int(treader.get_db_key(tid_)))
+            taxon_mask[tid_] = texpr.is_ancestor(tax)
+        use_device = "host"
     device_ok = (use_device == "device" and not target_is_nucl
                  and bool(par.diag_score))
     n_splits = par.split if par.split_mode in (0, 2) else 0
@@ -269,7 +284,8 @@ def prefilter_kmer(par, command):
                            query_is_profile, same_db, out_path, alpha)
 
     return _run_host(par, qreader, treader, qdb, matcher,
-                     query_is_profile, same_db, out_path, alpha)
+                     query_is_profile, same_db, out_path, alpha,
+                     taxon_mask)
 
 
 
@@ -503,7 +519,7 @@ def _print_statistics(stats_acc, reslens, n_queries, max_results):
              "result lists")
 
 def _run_host(par, qreader, treader, qdb, matcher, query_is_profile,
-              same_db, out_path, alpha):
+              same_db, out_path, alpha, taxon_mask=None):
     """Per-query host (numpy oracle) matching loop."""
     table = matcher.index
     kmer_size = matcher.k
@@ -530,11 +546,13 @@ def _run_host(par, qreader, treader, qdb, matcher, query_is_profile,
             rescore[:, :20] = np.sign(s) * (np.abs(s) // 4)
             hits = matcher.match(p.query_num.astype(np.int64), identity_id,
                                  diagonal_scoring=bool(par.diag_score),
-                                 rescore_profile=rescore)
+                                 rescore_profile=rescore,
+                                 allowed_mask=taxon_mask)
             q_len = float(p.length)
         else:
             hits = matcher.match(qdb.seq_num(qid), identity_id,
-                                 diagonal_scoring=bool(par.diag_score))
+                                 diagonal_scoring=bool(par.diag_score),
+                                 allowed_mask=taxon_mask)
             q_len = float(qreader.get_seq_len(qid))
         check_cov = par.cov_thr > 0.0 and par.cov_mode in (0, 2, 5)
         lines = []

@@ -227,7 +227,8 @@ class QueryMatcher:
 
     def match(self, q_num: np.ndarray, identity_id: int = -1,
               diagonal_scoring: bool = True,
-              rescore_profile: np.ndarray = None):
+              rescore_profile: np.ndarray = None,
+              allowed_mask: np.ndarray = None):
         """Returns list of hit tuples (local target id, prefScore,
         diagonal i32) in final output order.
 
@@ -248,6 +249,9 @@ class QueryMatcher:
         if not diagonal_scoring:
             # KMER_SCORE path: double-match counts are the prefilter score
             ids, diags, counts = self.find_duplicates_counted(ids, diags)
+            if allowed_mask is not None and len(ids):
+                keep = allowed_mask[ids]
+                ids, diags, counts = ids[keep], diags[keep], counts[keep]
             self.stats.double_matches = int(counts.sum())
             score_sizes = np.bincount(counts, minlength=SCORE_RANGE) \
                 if len(counts) else np.zeros(SCORE_RANGE, dtype=np.int64)
@@ -271,6 +275,11 @@ class QueryMatcher:
             tail = sorted(hits[start:], key=lambda h: (-abs(h[1]), h[0]))
             return hits[:start] + tail
         ids, diags = self.find_duplicates(ids, diags)
+        if allowed_mask is not None and len(ids):
+            # QueryMatcherTaxonomyHook: drop disallowed targets AFTER the
+            # double-diagonal detection, BEFORE rescoring/truncation
+            keep = allowed_mask[ids]
+            ids, diags = ids[keep], diags[keep]
         self.stats.double_matches = len(ids)
 
         prof = (rescore_profile.astype(np.int64)
