@@ -313,39 +313,89 @@ def _admit(hashes: np.ndarray, target: int):
     return admitted
 
 
+def adjusted_kmer_lengths(win: np.ndarray, k: int):
+    """MarkovKmerScore::adjustedLength per window (vectorized): stop the
+    5-mer score accumulation at (k - ORDER) * MEDIAN_SCORE
+    (kmermatcher.cpp:179-193)."""
+    from ..data.markov_scores import (MARKOV5_SCORES, MARKOV_ORDER,
+                                      MEDIAN_SCORE)
+    scores = np.asarray(MARKOV5_SCORES, np.float32)
+    n, kw = win.shape
+    thr = (k - MARKOV_ORDER) * MEDIAN_SCORE   # threshold from the BASE k
+    shifts = (np.uint64(2) * np.arange(MARKOV_ORDER, -1, -1,
+                                       dtype=np.uint64))
+    lens = np.full(n, MARKOV_ORDER, np.int64)
+    total = np.zeros(n, np.float32)
+    active = np.ones(n, bool)
+    for pos in range(kw - MARKOV_ORDER):
+        sub = win[:, pos:pos + MARKOV_ORDER + 1].astype(np.uint64)
+        idx = ((sub & np.uint64(3)) << shifts[None, :]).sum(
+            axis=1, dtype=np.uint64)
+        step = active & (total < thr)
+        total = np.where(step, total + scores[idx.astype(np.int64)], total)
+        lens = np.where(step, pos + 1 + MARKOV_ORDER, lens)
+        active &= step
+    return lens
+
+
 def select_kmers_nucl(seq_num: np.ndarray, k: int, kmer_considered: int,
-                      hash_shift: int):
+                      hash_shift: int, adjust_len: bool = False):
     """Canonical (min of fwd/revcomp) 2-bit k-mers of one nucleotide
     sequence; returns (kmer-with-bit63-flag u64, effective pos, hash16).
     Forward picks carry bit 63 SET, reverse picks cleared; palindromic
-    k-mers are skipped (kmermatcher.cpp:166-203)."""
+    k-mers are skipped (kmermatcher.cpp:166-203). With --adjust-kmer-len
+    the enumeration window extends to min(k+5, 23) characters and each
+    k-mer is truncated/extended to the Markov score threshold
+    (kmermatcher.cpp:115,179-200)."""
+    span = min(k + 5, 23) if adjust_len else k
     L = len(seq_num)
-    n = L - k + 1
+    n = L - span + 1
     empty = (np.zeros(0, np.uint64), np.zeros(0, np.int64),
              np.zeros(0, np.int64))
     if n <= 0:
         return empty
-    win = seq_num[np.arange(n)[:, None] + np.arange(k)[None, :]]
+    win = seq_num[np.arange(n)[:, None] + np.arange(span)[None, :]]
     valid = (win < 4).all(axis=1)
     shifts = (np.uint64(2) * np.arange(k - 1, -1, -1, dtype=np.uint64))
     with np.errstate(over="ignore"):
-        idx = ((win.astype(np.uint64) & np.uint64(3))
+        idx = ((win[:, :k].astype(np.uint64) & np.uint64(3))
                << shifts[None, :]).sum(axis=1, dtype=np.uint64)
     pos = np.nonzero(valid)[0]
     idx = idx[valid]
+    win = win[valid]
     if len(idx) == 0:
         return empty
     rc = rev_complement(idx, k)
     keep = rc != idx                      # skip palindromes
-    idx, rc, pos = idx[keep], rc[keep], pos[keep]
+    idx, rc, pos, win = idx[keep], rc[keep], pos[keep], win[keep]
     if len(idx) == 0:
         return empty
     pick_rev = rc < idx
     canon = np.where(pick_rev, rc, idx)
-    eff_pos = np.where(pick_rev, L - pos - k, pos)
     hashes = (xxh64_u64(canon, hash_shift)
               & np.uint64(0xFFFF)).astype(np.int64)
-    flagged = np.where(pick_rev, canon, canon | BIT63)
+    if adjust_len:
+        # oriented full-window characters: reverse-complement for reverse
+        # picks (ACTG alphabet: complement = XOR 2)
+        oriented = np.where(pick_rev[:, None],
+                            win[:, ::-1].astype(np.uint8) ^ np.uint8(2),
+                            win.astype(np.uint8))
+        lens = adjusted_kmer_lengths(oriented, k)
+        # pack the first `len` characters big-endian per row
+        kmer_val = np.zeros(len(canon), np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(span):
+                active = lens > j
+                kmer_val = np.where(
+                    active,
+                    (kmer_val << np.uint64(2))
+                    | (oriented[:, j].astype(np.uint64) & np.uint64(3)),
+                    kmer_val)
+        eff_pos = np.where(pick_rev, L - pos - lens, pos)
+        flagged = np.where(pick_rev, kmer_val, kmer_val | BIT63)
+    else:
+        eff_pos = np.where(pick_rev, L - pos - k, pos)
+        flagged = np.where(pick_rev, canon, canon | BIT63)
     admitted = _admit(hashes, min(kmer_considered, len(canon)))
     return flagged[admitted], eff_pos[admitted], hashes[admitted]
 
@@ -353,7 +403,8 @@ def select_kmers_nucl(seq_num: np.ndarray, k: int, kmer_considered: int,
 def build_pairs_nucl(seqs, keys, k: int, kmers_per_seq: int,
                      kmers_per_seq_scale: float, hash_shift: int,
                      cov_thr: float, cov_mode: int,
-                     include_only_extendable: bool):
+                     include_only_extendable: bool,
+                     adjust_len: bool = False):
     """Nucleotide center->member pairs with orientation handling
     (kmermatcher.cpp:495-665). Returns (rep_k, mem_k, diag i16, rev)."""
     from ..align.util import can_be_covered
@@ -361,7 +412,8 @@ def build_pairs_nucl(seqs, keys, k: int, kmers_per_seq: int,
     for lid, seq in enumerate(seqs):
         L = len(seq)
         considered = int(kmers_per_seq - 1 + kmers_per_seq_scale * L)
-        kmers, pos, _ = select_kmers_nucl(seq, k, considered, hash_shift)
+        kmers, pos, _ = select_kmers_nucl(seq, k, considered, hash_shift,
+                                          adjust_len)
         key = int(keys[lid])
         ks.append(kmers)
         ids.append(np.full(len(kmers), key, dtype=np.int64))

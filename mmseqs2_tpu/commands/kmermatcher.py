@@ -183,7 +183,7 @@ def _kmermatcher_nucl(par, reader, out_path, cov_thr):
     rep_k, mem_k, diags, revs = km.build_pairs_nucl(
         seqs, reader.keys, k, kmer_per_seq, par.kmer_per_seq_scale.nucl,
         par.hash_shift, cov_thr, par.cov_mode,
-        par.include_only_extendable)
+        par.include_only_extendable, adjust_len=bool(par.adjust_kmer_len))
     log.info(f"{len(rep_k)} candidate pairs")
     writer = DBWriter(out_path, dbt.DBTYPE_PREFILTER_REV_RES)
     written = km.write_result(writer, rep_k, mem_k, diags, revs)

@@ -48,3 +48,12 @@ def test_linclust_nucl_parity(tmp_path):
     run_cmd("linclust", [str(NDB), out, str(tmp_path / "tmp"),
                          "--threads", "1", "--linclust-version", "1"])
     assert_db_equal(out, G / "refclu")
+
+
+def test_kmermatcher_adjust_kmer_len_parity(tmp_path):
+    """--adjust-kmer-len (MarkovKmerScore windows) parity vs reference."""
+    out = str(tmp_path / "km")
+    run_cmd("kmermatcher", [str(NDB), out, "--threads", "1",
+                            "--linclust-version", "1",
+                            "--adjust-kmer-len", "1"])
+    assert_db_equal(out, G / "refadj")
