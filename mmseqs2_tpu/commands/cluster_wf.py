@@ -126,6 +126,13 @@ def _auto_sensitivity(seq_id_thr: float) -> float:
 def cluster(par, command):
     seq_db, out_db, tmp = par.filenames[:3]
     wf = Workflow(tmp, par.force_reuse)
+    if par.switch_consensus_rep:
+        # reference: only supported with align2clust-based cluster-version 2
+        # (Cluster.cpp:143-147); our cascaded path is the v1 align+clust
+        # pipeline — run pickconsensusrep explicitly instead
+        log.warning("--switch-consensus-rep is only supported with "
+                    "--cluster-version 2; ignoring. Run pickconsensusrep "
+                    "on the result to switch representatives.")
 
     # setWorkflowDefaults (Cluster.cpp:13-20)
     if not par.was_set("cov_thr"):
