@@ -105,13 +105,28 @@ def _f3(x) -> str:
     return f"{np.float32(x):.3f}"
 
 
+FORMAT_BLAST_TAB = 0
+FORMAT_SAM = 1
+FORMAT_BLAST_WITH_LEN = 2
+FORMAT_HTML = 3
+FORMAT_BLAST_TAB_WITH_HEADERS = 4
+
+
 def convertalis(par, command):
     qdb_path, tdb_path, aln_path, out_path = par.filenames[:4]
+    fmt = par.format_mode
+    if fmt == FORMAT_SAM:
+        return _convertalis_sam(par)
     same_db = qdb_path == tdb_path
     qh = DBReader(qdb_path + "_h")
     th = qh if same_db else DBReader(tdb_path + "_h")
     aln = DBReader(aln_path)
     outcodes = [c for c in par.format_output.split(",") if c]
+    if fmt == FORMAT_BLAST_WITH_LEN and not par.was_set("format_output"):
+        outcodes += ["qlen", "tlen"]
+    if fmt == FORMAT_HTML:
+        return _convertalis_html(par)
+    with_len_eval = fmt == FORMAT_BLAST_WITH_LEN
 
     need_seq = any(c in outcodes for c in
                    ("qseq", "tseq", "qaln", "taln", "qlen", "tlen"))
@@ -136,6 +151,10 @@ def convertalis(par, command):
         writer = DBWriter(out_path, dbt.DBTYPE_GENERIC_DB,
                           compressed=bool(par.compressed))
     out_lines = []
+    if fmt == FORMAT_BLAST_TAB_WITH_HEADERS and outcodes:
+        # --format-mode 4: column-name header line
+        # (convertalignments.cpp:319-328)
+        out_lines.append("\t".join(outcodes) + "\n")
     # reference opens the result DB with LINEAR_ACCCESS: iterate in data
     # (offset) order, not key order (DBReader.h sort modes)
     order = np.argsort(aln.offsets, kind="stable")
@@ -199,7 +218,8 @@ def convertalis(par, command):
                 elif code == "tlen":
                     cols.append(str(res.db_len))
                 elif code == "evalue":
-                    cols.append(f"{res.eval:.3E}")
+                    cols.append(f"{res.eval:.2E}" if with_len_eval
+                                else f"{res.eval:.3E}")
                 elif code == "bits":
                     cols.append(str(res.score))
                 elif code == "raw":
@@ -258,4 +278,172 @@ def convertalis(par, command):
     qh.close()
     if th is not qh:
         th.close()
+    return 0
+
+
+def _aligned_seq(seq, start, bt, is_target):
+    """printSeqBasedOnAln (convertalignments.cpp:28-63), protein case."""
+    out = []
+    pos = start
+    keep_op = "D" if is_target else "I"
+    for op in bt:
+        if op == "M" or op == keep_op:
+            out.append(seq[pos])
+            pos += 1
+        else:
+            out.append("-")
+    return "".join(out)
+
+
+def _convertalis_sam(par):
+    """--format-mode 1: SAM output (convertalignments.cpp:272-300,718-765).
+    Header: @HD + one @SQ per target at first appearance in result order;
+    records: flag 16 for reversed query coordinates, pos = min target
+    coordinate, MAPQ from the raw score, stored (compressed) cigar, the
+    query segment, AS/NM tags."""
+    import math
+
+    from ..ops.evalue import EvalueComputation
+    from .common import get_sub_mat
+
+    qdb_path, tdb_path, aln_path, out_path = par.filenames[:4]
+    same_db = qdb_path == tdb_path
+    qh = DBReader(qdb_path + "_h")
+    th = qh if same_db else DBReader(tdb_path + "_h")
+    qseq = DBReader(qdb_path)
+    tseq = qseq if same_db else DBReader(tdb_path)
+    aln = DBReader(aln_path)
+    evaluer = EvalueComputation(tseq.total_residues(), get_sub_mat(par),
+                                par.gap_open.aa, par.gap_extend.aa)
+    order = [int(x) for x in np.argsort(aln.offsets, kind="stable")]
+    out = ["@HD\tVN:1.4\tSO:queryname\n"]
+    seen = set()
+    for i in order:
+        for line in aln.get_data(i).split(b"\n"):
+            if not line:
+                continue
+            tkey = int(line.split(b"\t")[0])
+            if tkey in seen:
+                continue
+            seen.add(tkey)
+            t_len = tseq.get_seq_len(tseq.get_id(tkey))
+            tid = parse_fasta_header(th.get_data(th.get_id(tkey)).decode())
+            out.append(f"@SQ\tSN:{tid}\tLN:{t_len}\n")
+    for i in order:
+        query_key = aln.get_db_key(i)
+        query_id = parse_fasta_header(
+            qh.get_data(qh.get_id(query_key)).decode())
+        q_seq = qseq.get_seq(qseq.get_id(query_key)).decode()
+        for line in aln.get_data(i).split(b"\n"):
+            if not line:
+                continue
+            res = AlnRecord.parse(line)
+            tid = parse_fasta_header(
+                th.get_data(th.get_id(res.db_key)).decode())
+            forward = res.q_end > res.q_start
+            raw = int(evaluer.compute_raw_score_from_bit_score(res.score)
+                      + 0.5)
+            try:
+                mapq_f = -4.343 * math.log(math.exp(-float(raw)))
+            except (OverflowError, ValueError):
+                mapq_f = float("inf")
+            mapq = 254 if not math.isfinite(mapq_f + 4.99) \
+                else min(254, int(mapq_f + 4.99))
+            aln_len = res.aln_length
+            miss_match = 0
+            if res.backtrace:
+                aln_len, match_count, _ = \
+                    expand_backtrace_stats(res.backtrace)
+                identical = int(res.seq_id * np.float32(aln_len)
+                                + np.float32(0.5))
+                miss_match = match_count - identical
+            else:
+                adj_q = 0 if res.q_start == -1 else res.q_start
+                adj_t = 0 if res.db_start == -1 else res.db_start
+                best_match = np.float32(min(abs(res.q_end - adj_q),
+                                            abs(res.db_end - adj_t)))
+                miss_match = int(best_match
+                                 * (np.float32(1.0) - res.seq_id)
+                                 + np.float32(0.5))
+            start = min(res.q_start, res.q_end)
+            end = max(res.q_start, res.q_end)
+            out.append(
+                f"{query_id}\t{0 if forward else 16}\t{tid}\t"
+                f"{min(res.db_start + 1, res.db_end + 1)}\t{mapq}\t"
+                f"{res.backtrace}\t*\t0\t0\t{q_seq[start:end + 1]}\t*"
+                f"\tAS:i:{raw}\tNM:i:{miss_match}\n")
+    with open(out_path, "w") as f:
+        f.write("".join(out))
+    for r in {id(aln): aln, id(qh): qh, id(th): th, id(qseq): qseq,
+              id(tseq): tseq}.values():
+        r.close()
+    return 0
+
+
+def _convertalis_html(par):
+    """--format-mode 3: interactive HTML (the vendored result_viz prelude
+    shipped in data/resources, identical to the reference's embedded
+    blob, + per-query render() JSON; convertalignments.cpp:311-318,
+    386-400,767-800,838-850)."""
+    import os
+
+    import zstandard
+
+    qdb_path, tdb_path, aln_path, out_path = par.filenames[:4]
+    same_db = qdb_path == tdb_path
+    qh = DBReader(qdb_path + "_h")
+    th = qh if same_db else DBReader(tdb_path + "_h")
+    qseq = DBReader(qdb_path)
+    tseq = qseq if same_db else DBReader(tdb_path)
+    aln = DBReader(aln_path)
+    prelude_path = os.path.join(os.path.dirname(__file__), "..", "data",
+                                "resources",
+                                "result_viz_prelude.html.zst")
+    prelude = zstandard.ZstdDecompressor().decompress(
+        open(prelude_path, "rb").read(), max_output_size=1 << 26)
+    order = [int(x) for x in np.argsort(aln.offsets, kind="stable")]
+    chunks = [prelude.decode(errors="surrogateescape"),
+              "<script>render(["]
+    for i in order:
+        query_key = aln.get_db_key(i)
+        query_id = parse_fasta_header(
+            qh.get_data(qh.get_id(query_key)).decode())
+        q_seq = qseq.get_seq(qseq.get_id(query_key)).decode()
+        chunks.append('{"query": {"accession": "%s","sequence": "%s"}, '
+                      '"alignments": [\n' % (query_id, q_seq))
+        for line in aln.get_data(i).split(b"\n"):
+            if not line:
+                continue
+            res = AlnRecord.parse(line)
+            tid = parse_fasta_header(
+                th.get_data(th.get_id(res.db_key)).decode())
+            aln_len = res.aln_length
+            miss_match = gap_open = identical = 0
+            if res.backtrace:
+                aln_len, match_count, gap_open = \
+                    expand_backtrace_stats(res.backtrace)
+                identical = int(res.seq_id * np.float32(aln_len)
+                                + np.float32(0.5))
+                miss_match = match_count - identical
+            bt = expand_cigar(res.backtrace)
+            t_seq = tseq.get_seq(tseq.get_id(res.db_key)).decode()
+            q_aln = _aligned_seq(q_seq, res.q_start, bt, False)
+            t_aln = _aligned_seq(t_seq, res.db_start, bt, True)
+            chunks.append(
+                '{"target": "%s", "seqId": %1.3f, "alnLen": %d, '
+                '"mismatch": %d, "gapopen": %d, "qStartPos": %d, '
+                '"qEndPos": %d, "dbStartPos": %d, "dbEndPos": %d, '
+                '"eval": %.2E, "score": %d, "qLen": %d, "dbLen": %d, '
+                '"qAln": "%s", "dbAln": "%s" },\n'
+                % (tid, res.seq_id, aln_len, miss_match, gap_open,
+                   res.q_start + 1, res.q_end + 1, res.db_start + 1,
+                   res.db_end + 1, res.eval, res.score, res.q_len,
+                   res.db_len, q_aln, t_aln))
+        chunks.append("]},\n")
+    chunks.append("]);</script>")
+    with open(out_path, "w", errors="surrogateescape") as f:
+        f.write("".join(chunks))
+    for r in {id(aln): aln, id(qh): qh, id(th): th, id(qseq): qseq,
+              id(tseq): tseq}.values():
+        r.close()
     return 0

@@ -1,0 +1,24 @@
+"""convertalis --format-mode 1/2/3/4 byte parity vs reference goldens."""
+
+import pathlib
+
+import pytest
+
+from mmseqs2_tpu.params import Params
+from mmseqs2_tpu.registry import get_command
+
+G = pathlib.Path(__file__).parent / "golden" / "fm"
+TOY = pathlib.Path(__file__).parent / "golden" / "toy"
+
+
+@pytest.mark.parametrize("mode", [1, 2, 3, 4])
+def test_convertalis_format_mode(tmp_path, mode):
+    out = str(tmp_path / "out")
+    cmd = get_command("convertalis")
+    par = Params().parse([str(G / "qsub"), str(TOY / "qdb"),
+                          str(G / "alnsub"), out,
+                          "--format-mode", str(mode), "--threads", "1"],
+                         cmd, cmd.min_db, cmd.max_db)
+    assert cmd.load()(par, cmd) == 0
+    assert open(out, "rb").read() == \
+        (G / f"ref{mode}.out").read_bytes()
