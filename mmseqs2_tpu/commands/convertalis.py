@@ -8,6 +8,7 @@ mismatch/gapopen derivation at convertalignments.cpp:418-455;
 Util::parseFastaHeader accession extraction at Util.cpp:147-229.
 """
 
+import math
 import re
 
 import numpy as np
@@ -66,7 +67,8 @@ def expand_cigar(cigar: str) -> str:
 
 class AlnRecord:
     __slots__ = ("db_key", "score", "seq_id", "eval", "q_start", "q_end",
-                 "q_len", "db_start", "db_end", "db_len", "backtrace")
+                 "q_len", "db_start", "db_end", "db_len", "backtrace",
+                 "q_orf_start", "q_orf_end", "t_orf_start", "t_orf_end")
 
     @classmethod
     def parse(cls, line: bytes):
@@ -84,10 +86,15 @@ class AlnRecord:
         r.db_len = int(parts[9])
         # column counts (Matcher::parseAlignmentRecord): 10 plain, 11 with
         # backtrace, 14 with ORF positions, 15 with ORF positions+backtrace
+        r.q_orf_start = r.q_orf_end = r.t_orf_start = r.t_orf_end = -1
         if len(parts) == 11:
             r.backtrace = parts[10].decode()
-        elif len(parts) >= 15:
-            r.backtrace = parts[14].decode()
+        elif len(parts) >= 14:
+            r.q_orf_start = int(parts[10])
+            r.q_orf_end = int(parts[11])
+            r.t_orf_start = int(parts[12])
+            r.t_orf_end = int(parts[13])
+            r.backtrace = parts[14].decode() if len(parts) >= 15 else ""
         else:
             r.backtrace = ""
         return r
@@ -129,7 +136,8 @@ def convertalis(par, command):
     with_len_eval = fmt == FORMAT_BLAST_WITH_LEN
 
     need_seq = any(c in outcodes for c in
-                   ("qseq", "tseq", "qaln", "taln", "qlen", "tlen"))
+                   ("qseq", "tseq", "qaln", "taln", "qlen", "tlen",
+                    "ppos"))
     qseq_db = DBReader(qdb_path) if need_seq else None
     tseq_db = (qseq_db if same_db else DBReader(tdb_path)) if need_seq else None
 
@@ -141,6 +149,33 @@ def convertalis(par, command):
         evaluer = EvalueComputation(tr.total_residues(), get_sub_mat(par),
                                     par.gap_open.aa, par.gap_extend.aa)
         tr.close()
+
+    need_set = any(c in outcodes for c in ("qset", "qsetid", "tset",
+                                           "tsetid"))
+    q_lookup = t_lookup = q_source = t_source = None
+    if need_set:
+        qfull = DBReader(qdb_path)
+        q_lookup = qfull.read_lookup()
+        qfull.close()
+        q_source = _read_source_map(qdb_path)
+        if same_db:
+            t_lookup, t_source = q_lookup, q_source
+        else:
+            tfull = DBReader(tdb_path)
+            t_lookup = tfull.read_lookup()
+            tfull.close()
+            t_source = _read_source_map(tdb_path)
+    need_tax = any(c in outcodes for c in ("taxid", "taxname",
+                                           "taxlineage"))
+    taxonomy = tax_mapping = None
+    if need_tax:
+        from ..taxonomy.ncbi import MappingReader, NcbiTaxonomy
+        taxonomy = NcbiTaxonomy.open_taxonomy(tdb_path)
+        tax_mapping = MappingReader(tdb_path)
+    submat_pp = None
+    if "ppos" in outcodes:
+        from .common import get_sub_mat
+        submat_pp = get_sub_mat(par)
 
     writer = None
     if par.db_output:
@@ -263,7 +298,80 @@ def convertalis(par, command):
                             frag.append("-")
                     cols.append("".join(frag))
                 elif code == "empty":
-                    cols.append("")
+                    cols.append("-")
+                elif code == "qframe":
+                    # C-style truncating modulo (convertalignments.cpp:671)
+                    if res.q_start <= res.q_end:
+                        cols.append(str(int(math.fmod(res.q_start - 1, 3))
+                                        + 1))
+                    else:
+                        cols.append(str(-(int(math.fmod(
+                            res.q_len - res.q_start, 3)) + 1)))
+                elif code == "tframe":
+                    if res.db_start <= res.db_end:
+                        cols.append(str(int(math.fmod(res.db_start - 1, 3))
+                                        + 1))
+                    else:
+                        cols.append(str(-(int(math.fmod(
+                            res.db_len - res.db_start, 3)) + 1)))
+                elif code == "qorfstart":
+                    cols.append(str(res.q_orf_start))
+                elif code == "qorfend":
+                    cols.append(str(res.q_orf_end))
+                elif code == "torfstart":
+                    cols.append(str(res.t_orf_start))
+                elif code == "torfend":
+                    cols.append(str(res.t_orf_end))
+                elif code == "qsetid":
+                    cols.append(str(q_lookup[query_key][1]))
+                elif code == "qset":
+                    cols.append(q_source.get(q_lookup[query_key][1], ""))
+                elif code == "tsetid":
+                    cols.append(str(t_lookup[res.db_key][1]))
+                elif code == "tset":
+                    cols.append(t_source.get(t_lookup[res.db_key][1], ""))
+                elif code == "taxid":
+                    cols.append(str(tax_mapping.lookup(res.db_key)))
+                elif code == "taxname":
+                    node = taxonomy.taxon_node(
+                        tax_mapping.lookup(res.db_key))
+                    cols.append(node.name if node is not None
+                                else "unclassified")
+                elif code == "taxlineage":
+                    node = taxonomy.taxon_node(
+                        tax_mapping.lookup(res.db_key))
+                    cols.append(taxonomy.tax_lineage(node, True)
+                                if node is not None else "unclassified")
+                elif code == "ppos":
+                    # fraction of positive-scoring match columns
+                    # (convertalignments.cpp:640-669); SSTR(float) = %.3f
+                    ppos = np.float32(0)
+                    if res.backtrace:
+                        bt = expand_cigar(res.backtrace)
+                        q_s = qseq_db.get_seq(
+                            qseq_db.get_id(query_key))
+                        t_s = tseq_db.get_seq(
+                            tseq_db.get_id(res.db_key))
+                        enc = submat_pp.make_aa2num_table()
+                        sm = submat_pp.sub_matrix
+                        qp, tp = res.q_start, res.db_start
+                        pos_cnt = 0
+                        match_cnt = 0
+                        for op in bt:
+                            if op == "M":
+                                pos_cnt += int(sm[enc[q_s[qp]],
+                                                  enc[t_s[tp]]] > 0)
+                                match_cnt += 1
+                                qp += 1
+                                tp += 1
+                            elif op == "D":
+                                tp += 1
+                            else:
+                                qp += 1
+                        if match_cnt:
+                            ppos = np.float32(pos_cnt) / np.float32(
+                                match_cnt)
+                    cols.append(_f3(ppos))
                 else:
                     log.die(f"Unsupported --format-output key: {code}")
             q_lines.append("\t".join(cols) + "\n")
@@ -447,3 +555,15 @@ def _convertalis_html(par):
               id(tseq): tseq}.values():
         r.close()
     return 0
+
+
+def _read_source_map(db_path):
+    import os
+    out = {}
+    p = db_path + ".source"
+    if os.path.exists(p):
+        for line in open(p):
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) >= 2:
+                out[int(parts[0])] = parts[1]
+    return out

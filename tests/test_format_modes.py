@@ -22,3 +22,16 @@ def test_convertalis_format_mode(tmp_path, mode):
     assert cmd.load()(par, cmd) == 0
     assert open(out, "rb").read() == \
         (G / f"ref{mode}.out").read_bytes()
+
+
+def test_convertalis_extra_output_codes(tmp_path):
+    """ppos/qframe/tframe/qset/qsetid/empty columns byte parity."""
+    out = str(tmp_path / "x")
+    cmd = get_command("convertalis")
+    par = Params().parse(
+        [str(G / "qsub"), str(TOY / "qdb"), str(G / "alnsub"), out,
+         "--format-output",
+         "query,target,ppos,qframe,tframe,qset,qsetid,empty",
+         "--threads", "1"], cmd, cmd.min_db, cmd.max_db)
+    assert cmd.load()(par, cmd) == 0
+    assert open(out, "rb").read() == (G / "refx.out").read_bytes()
