@@ -67,9 +67,10 @@ class _Hit:
 def result2msa(par, command):
     qdb_path, tdb_path, res_path, out_path = par.filenames[:4]
     mode = par.msa_format_mode
-    if mode not in (2, 5):
+    if mode not in (2, 3, 4, 5):
         log.die(f"--msa-format-mode {mode} is not implemented "
-                f"(supported: 2 FASTA, 5 a3m)")
+                f"(supported: 2 FASTA, 3 FASTA+summary, 4 STOCKHOLM flat, "
+                f"5 a3m; binary ca3m via convertca3m)")
     same_db = qdb_path == tdb_path
     # result2msa.cpp:21 forces --filter-msa off unless explicitly set
     if not par.was_set("filter_msa"):
@@ -123,6 +124,25 @@ def result2msa(par, command):
             # header kept WITH its trailing newline (entryLen-1)
             center_header = qh.get_data(qh.get_id(query_key))
             out = []
+            if mode == 3:
+                # FASTA + header summary line (result2msa.cpp:267-289)
+                from .misc_tools import _uniprot_summarize
+                headers = []
+                for k in range(set_size):
+                    if k == 0:
+                        headers.append(center_header.decode().rstrip("\n"))
+                    elif kept[k]:
+                        t_key = hits[k - 1]["db_key"]
+                        headers.append(th.get_data(th.get_id(t_key))
+                                       .decode().rstrip("\n"))
+                out.append(f"#{par.summary_prefix}-{query_key}|"
+                           f"{_uniprot_summarize(headers)}\n".encode())
+            if mode == 4:
+                out.append(b"# STOCKHOLM 1.0\n")
+                if par.skip_query:
+                    out.append(b"#=GF ID " + parse_fasta_header(
+                        center_header.split(b"\n")[0].decode()).encode()
+                        + b"\n")
             start = 1 if par.skip_query else 0
             for k in range(start, set_size):
                 if not kept[k]:
@@ -134,7 +154,17 @@ def result2msa(par, command):
                 else:
                     t_key = hits[k - 1]["db_key"]
                     header = th.get_data(th.get_id(t_key))
-                if mode == 2:
+                if mode == 4:
+                    # STOCKHOLM row: accession + space + row
+                    name = ("DUMMY" if only_gap
+                            else parse_fasta_header(header.split(b"\n")[0]
+                                                    .decode()))
+                    out.append(name.encode() + b" ")
+                    out.append(bytes(
+                        ord(num2aa[c]) if c < GAP else ord("-")
+                        for c in row))
+                    out.append(b"\n")
+                elif mode in (2, 3):
                     out.append(b">" + (b"DUMMY\n" if only_gap else header))
                     out.append(bytes(
                         ord(num2aa[c]) if c < GAP else ord("-")
@@ -175,7 +205,18 @@ def result2msa(par, command):
                                 seq_pos += 1
                         out.append(bytes(buf))
                         out.append(b"\n")
-            w.write(query_key, b"".join(out))
+            if mode == 4:
+                out.append(b"//\n")
+                # STOCKHOLM is a flat file: entries without null bytes,
+                # index/dbtype removed after close (result2msa.cpp:541-543)
+                w.write(query_key, b"".join(out), add_null=False)
+            else:
+                w.write(query_key, b"".join(out))
+    if mode == 4:
+        import os
+        for suf in (".index", ".dbtype"):
+            if os.path.exists(out_path + suf):
+                os.unlink(out_path + suf)
     return 0
 
 

@@ -35,3 +35,17 @@ def test_convertalis_extra_output_codes(tmp_path):
          "--threads", "1"], cmd, cmd.min_db, cmd.max_db)
     assert cmd.load()(par, cmd) == 0
     assert open(out, "rb").read() == (G / "refx.out").read_bytes()
+
+
+@pytest.mark.parametrize("mode", [3, 4])
+def test_result2msa_format_mode(tmp_path, mode):
+    """result2msa --msa-format-mode 3 (FASTA+summary) / 4 (STOCKHOLM)."""
+    out = str(tmp_path / "msa")
+    cmd = get_command("result2msa")
+    par = Params().parse([str(G / "qsub"), str(TOY / "qdb"),
+                          str(G / "alnsub"), out,
+                          "--msa-format-mode", str(mode),
+                          "--threads", "1"], cmd, cmd.min_db, cmd.max_db)
+    assert cmd.load()(par, cmd) == 0
+    assert open(out, "rb").read() == \
+        (G / f"refmsa{mode}").read_bytes()
