@@ -41,6 +41,10 @@ def _gather(par, aligner, ctx, tdb, treader, query_key, data, same_db):
             "db_start": int(parts[7]) if len(parts) > 7 else 0,
             "backtrace": expand_cigar(parts[10].decode())
             if len(parts) > 10 else "",
+            # mode 6 appends the record columns after the name; without a
+            # backtrace resultToBuffer re-renders the 10-col form
+            "aln_info": b"\t".join(parts[1:10]) if len(parts) >= 10
+            else b"",
         }
         if not h["backtrace"]:
             need.append(len(hits))
@@ -57,6 +61,9 @@ def _gather(par, aligner, ctx, tdb, treader, query_key, data, same_db):
             hits[i]["q_start"] = res.q_start
             hits[i]["db_start"] = res.db_start
             hits[i]["backtrace"] = res.backtrace
+            line = res.to_line(False).rstrip("\n")
+            hits[i]["aln_info"] = line.split("\t", 1)[1].encode() \
+                if "\t" in line else b""
     return hits
 
 
@@ -67,10 +74,10 @@ class _Hit:
 def result2msa(par, command):
     qdb_path, tdb_path, res_path, out_path = par.filenames[:4]
     mode = par.msa_format_mode
-    if mode not in (2, 3, 4, 5):
+    if mode not in (2, 3, 4, 5, 6):
         log.die(f"--msa-format-mode {mode} is not implemented "
                 f"(supported: 2 FASTA, 3 FASTA+summary, 4 STOCKHOLM flat, "
-                f"5 a3m; binary ca3m via convertca3m)")
+                f"5/6 a3m; binary ca3m via convertca3m)")
     same_db = qdb_path == tdb_path
     # result2msa.cpp:21 forces --filter-msa off unless explicitly set
     if not par.was_set("filter_msa"):
@@ -175,6 +182,10 @@ def result2msa(par, command):
                             else parse_fasta_header(header.split(b"\n")[0]
                                                     .decode()))
                     out.append(b">" + name.encode())
+                    if mode == 6 and k > 0:
+                        # alignment record columns after the accession
+                        # (result2msa.cpp:427-432)
+                        out.append(b"\t" + hits[k - 1]["aln_info"])
                     out.append(b"\n")
                     if k == 0:
                         out.append(bytes(

@@ -37,9 +37,9 @@ def test_convertalis_extra_output_codes(tmp_path):
     assert open(out, "rb").read() == (G / "refx.out").read_bytes()
 
 
-@pytest.mark.parametrize("mode", [3, 4])
+@pytest.mark.parametrize("mode", [3, 4, 6])
 def test_result2msa_format_mode(tmp_path, mode):
-    """result2msa --msa-format-mode 3 (FASTA+summary) / 4 (STOCKHOLM)."""
+    """result2msa --msa-format-mode 3 (FASTA+summary) / 4 (STOCKHOLM) / 6 (a3m+aln info)."""
     out = str(tmp_path / "msa")
     cmd = get_command("result2msa")
     par = Params().parse([str(G / "qsub"), str(TOY / "qdb"),
