@@ -74,6 +74,12 @@ class _Hit:
 def result2msa(par, command):
     qdb_path, tdb_path, res_path, out_path = par.filenames[:4]
     mode = par.msa_format_mode
+    if mode in (0, 1):
+        # reference rejects CA3M output unconditionally (the emission code
+        # below its gate is unreachable); result2msa.cpp:41-44
+        log.error("Cannot use result2msa with indexed target database "
+                "for CA3M output")
+        return 1
     if mode not in (2, 3, 4, 5, 6):
         log.die(f"--msa-format-mode {mode} is not implemented "
                 f"(supported: 2 FASTA, 3 FASTA+summary, 4 STOCKHOLM flat, "
