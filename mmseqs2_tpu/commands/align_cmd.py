@@ -103,7 +103,11 @@ def align(par, command):
                             evaluer, par.comp_bias_corr,
                             par.comp_bias_corr_scale)
 
-    writer = DBWriter(out_path, dbt.DBTYPE_ALIGNMENT_RES)
+    # --alignment-output-mode 1: key-only cluster format
+    # (Alignment.cpp:250-252, 499-503)
+    cluster_out = par.alignment_output_mode == 1
+    writer = DBWriter(out_path, dbt.DBTYPE_CLUSTER_RES if cluster_out
+                      else dbt.DBTYPE_ALIGNMENT_RES)
     total_passed = 0
     aln_num = 0
     for pid in range(prefdb.size):
@@ -208,7 +212,10 @@ def align(par, command):
                         final.append(res)
                 if len(final) > 1:
                     sort_results(final)
-            lines = [r.to_line(add_backtrace) for r in final]
+            if cluster_out:
+                lines = [f"{r.db_key}\n" for r in final]
+            else:
+                lines = [r.to_line(add_backtrace) for r in final]
         writer.write(query_key, "".join(lines).encode())
     writer.close()
     log.info(f"{aln_num} alignments calculated, {total_passed} sequence pairs "

@@ -231,7 +231,14 @@ def filterresult(par, command):
                     if par.include_identity:
                         out_lines.append(Rec.parse(parts).to_line(True))
                     continue
-                r = Rec.parse(parts)
+                if len(parts) > 10:
+                    r = Rec.parse(parts)
+                else:
+                    # cluster-format / backtrace-less entry: recompute the
+                    # alignment (result2profile.cpp:224-233)
+                    r = Rec()
+                    r.db_key = key
+                    r.backtrace = ""
                 if not r.backtrace:
                     need_aln.append(len(hits))
                 hits.append(r)

@@ -35,6 +35,10 @@ def search(par, command):
     if not par.was_set("alignment_mode") and not par.add_backtrace:
         par.set("alignment_mode", 2)
 
+    # --exhaustive-search: sliced inverted search (Search.cpp:357-399)
+    if par.exhaustive_search:
+        return _search_sliced(par, wf, qdb, tdb, out_aln)
+
     # target-profile search (searchtargetprofile.sh): prefilter against the
     # profile-target index, align in the swapped (profile-query) direction,
     # swap back (Search.cpp:453-476). The prefilter runs at its own default
@@ -290,6 +294,135 @@ def _merge_alignments(qdb_path, aln_paths, out_path):
     for r in readers:
         r.close()
     q.close()
+
+
+def _search_sliced(par, wf, qdb, tdb, out_aln):
+    """`--exhaustive-search`: sliced inverted search through a large target
+    (typically profile) DB.
+
+    Reference: data/workflow/searchslicedtargetprofile.sh +
+    src/workflow/Search.cpp:357-399.  The evalue threshold is corrected by
+    |Q|/|T| for the inverted direction, the coverage mode is swapped, and
+    the prefilter max result list is max(300, |Q|).  The target index is
+    processed in disk-budgeted slices: prefilter slice-vs-query, align in
+    cluster-output mode, optionally filterresult, merge.  A final align
+    (top max-seqs per target) and swapresults (no evalue cut) restore the
+    query direction.
+    """
+    import shutil
+
+    from ..db.reader import DBReader
+    from .kmermatcher import _parse_mem_limit
+
+    if not par.was_set("sensitivity"):
+        par.set("sensitivity", 5.7)
+    q_size = sum(1 for _ in open(qdb + ".index", "rb"))
+    orig_eval = par.evalue
+    orig_cov = par.cov_mode
+    t_index = os.path.abspath(tdb) + ".index"
+    with open(t_index, "rb") as f:
+        index_lines = f.readlines()
+    total = len(index_lines)
+    par.set("evalue", par.evalue * (float(q_size) / total))
+    par.set("cov_mode", {1: 2, 2: 1}.get(orig_cov, orig_cov))
+    ungapped = par.alignment_mode == 4  # ALIGNMENT_MODE_UNGAPPED
+
+    profdb = wf.path("profileDB")
+    tdb_abs = os.path.abspath(tdb)
+    for suf in ("", ".dbtype"):
+        if os.path.lexists(profdb + suf):
+            os.unlink(profdb + suf)
+        os.symlink(tdb_abs + suf, profdb + suf)
+
+    avail_disk = _parse_mem_limit(par.disk_space_limit)
+    # prefilter result line budget (searchslicedtargetprofile.sh RESSIZE)
+    RESSIZE = 25
+    saturate = max(1, q_size)
+    first = 0
+    prev_results = 0
+    aln_merged = wf.path("aln_merged")
+    aln = wf.path("aln")
+    pref = wf.path("pref")
+    while first < total:
+        if prev_results > 0:
+            saturate = max(1, prev_results // first)
+        if avail_disk:
+            budget = avail_disk
+        else:
+            budget = shutil.disk_usage(wf.tmp).free // 2
+        n_in_step = max(1, budget // saturate // RESSIZE)
+        last = min(total, first + n_in_step)
+        with open(profdb + ".index", "wb") as f:
+            f.writelines(index_lines[first:last])
+
+        orig_max = par.max_seqs
+        par.set("max_seqs", max(300, q_size))
+        wf.step_always("prefilter", [profdb, qdb, pref], par)
+        par.set("max_seqs", orig_max)
+
+        pr = DBReader(pref)
+        prev_results += sum(pr.get_data(i).count(b"\n")
+                            for i in range(pr.size))
+        pr.close()
+        first = last
+
+        if ungapped:
+            orig_rm = par.rescore_mode
+            par.set("rescore_mode", 2)
+            wf.step_always("rescorediagonal", [profdb, qdb, pref, aln], par)
+            par.set("rescore_mode", orig_rm)
+        else:
+            orig_om = par.alignment_output_mode
+            par.set("alignment_output_mode", 1)
+            wf.step_always("align", [profdb, qdb, pref, aln], par)
+            par.set("alignment_output_mode", orig_om)
+        _rmdb(pref)
+
+        if par.exhaustive_search_filter == 1:
+            filt = wf.path("aln_filt")
+            wf.step_always("filterresult", [profdb, qdb, aln, filt], par)
+            _rmdb(aln)
+            _mvdb(filt, aln)
+
+        if os.path.exists(aln_merged + ".dbtype"):
+            merged_new = wf.path("aln_merged_new")
+            wf.step_always("mergedbs", [tdb, merged_new, aln_merged, aln],
+                           par)
+            _rmdb(aln_merged)
+            _mvdb(merged_new, aln_merged)
+            _rmdb(aln)
+        else:
+            _mvdb(aln, aln_merged)
+
+    aln_final = wf.path("aln_final")
+    if ungapped:
+        orig_rm = par.rescore_mode
+        par.set("rescore_mode", 2)
+        wf.step(aln_final, "rescorediagonal",
+                [tdb, qdb, aln_merged, aln_final], par)
+        par.set("rescore_mode", orig_rm)
+    else:
+        wf.step(aln_final, "align", [tdb, qdb, aln_merged, aln_final], par)
+    # swapresults must not re-filter by evalue (Search.cpp:381-383)
+    par.set("evalue", 1.7976931348623157e308)
+    wf.step(out_aln, "swapresults", [tdb, qdb, aln_final, out_aln], par)
+    par.set("evalue", orig_eval)
+    par.set("cov_mode", orig_cov)
+    if par.remove_tmp_files:
+        wf.cleanup(True)
+    return 0
+
+
+def _rmdb(path):
+    for suf in ("", ".index", ".dbtype"):
+        if os.path.exists(path + suf):
+            os.remove(path + suf)
+
+
+def _mvdb(src, dst):
+    for suf in ("", ".index", ".dbtype"):
+        if os.path.exists(src + suf):
+            os.replace(src + suf, dst + suf)
 
 
 def _search_target_profile(par, wf, qdb, tdb, out_aln):
