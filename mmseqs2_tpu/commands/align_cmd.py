@@ -53,6 +53,33 @@ def check_criteria(res, is_identity, eval_thr, seq_id_thr, aln_len_thr,
             and res.aln_length >= aln_len_thr)
 
 
+def _alt_alignments(par, aligner, ctx, query_key, base_results, tdb, treader,
+                    same_db, cov_thr, eval_thr, sw_mode, x_idx):
+    """Alternative alignments: mask each accepted hit's aligned target region
+    with X and realign up to --alt-ali times while the thresholds still pass
+    (Alignment.cpp:569-601; end-exclusive mask quirk at :586-588,595-597).
+    Returns the extra accepted results."""
+    extra = []
+    for r in base_results:
+        is_identity = (r.db_key == query_key
+                       and (par.include_identity or same_db))
+        if is_identity:
+            continue
+        tid = treader.get_id(r.db_key)
+        seq = np.array(tdb.seq_num(tid)).copy()
+        seq[r.db_start:r.db_end] = x_idx
+        for _ in range(par.alt_align):
+            res = aligner.align_query(
+                ctx, [r.db_key], [seq], [len(seq)], [False], sw_mode,
+                par.cov_mode, cov_thr, eval_thr, par.seq_id_mode)[0]
+            if not check_criteria(res, False, eval_thr, par.min_seq_id,
+                                  par.min_aln_len, par.cov_mode, cov_thr):
+                break
+            extra.append(res)
+            seq[res.db_start:res.db_end] = x_idx
+    return extra
+
+
 def align(par, command):
     qdb_path, tdb_path, pref_path, out_path = par.filenames[:4]
     same_db = qdb_path == tdb_path
@@ -178,6 +205,14 @@ def align(par, command):
                     rejected = 0
                 else:
                     rejected += 1
+            if par.alt_align > 0 and not realign and accepted:
+                x_idx = submat.alphabet.index("X")
+                extra = _alt_alignments(
+                    par, aligner, ctx, query_key,
+                    [a[0] for a in accepted], tdb, treader, same_db,
+                    cov_thr, par.evalue, sw_mode, x_idx)
+                accepted += [(r, treader.get_id(r.db_key), False)
+                             for r in extra]
             if len(accepted) > 1:
                 order = sort_results([a[0] for a in accepted])
                 by_id = {id(a[0]): a for a in accepted}
@@ -210,6 +245,13 @@ def align(par, command):
                         res.raw_score = first.raw_score
                         res.eval = first.eval
                         final.append(res)
+                if par.alt_align > 0 and final:
+                    x_idx = submat.alphabet.index("X")
+                    extra = _alt_alignments(
+                        par, realigner, rctx, query_key, list(final), tdb,
+                        treader, same_db, realign_cov, float("inf"),
+                        realign_sw_mode, x_idx)
+                    final += extra
                 if len(final) > 1:
                     sort_results(final)
             if cluster_out:
