@@ -42,6 +42,36 @@ def compute_ungapped_alignment(q_num, t_num, diagonal_u16, sub_matrix):
     return best
 
 
+def compute_ungapped_wrapped(q2, t_num, diagonal_u16, sub_matrix):
+    """DistanceCalculator::computeUngappedWrappedAlignment
+    (DistanceCalculator.h:57-90): slide an origQueryLen window over the
+    doubled query at each u16 diagonal unfolding, score it ungapped on
+    diagonal 0 against the whole target, keep the best.  Windows with a
+    negative offset read out of bounds in the reference and are skipped
+    here.  Returns (score, start, end, signed_diagonal, dist)."""
+    qlen, tlen = len(q2), len(t_num)
+    half = qlen // 2
+    best = (0, -1, -1, 0, 0)
+    reals = []
+    dev = 1
+    while -dev * 65536 + diagonal_u16 > -tlen:
+        reals.append(-dev * 65536 + diagonal_u16 + half)
+        dev += 1
+    dev = 0
+    while dev * 65536 + diagonal_u16 < half:
+        reals.append(dev * 65536 + diagonal_u16)
+        dev += 1
+    for real in reals:
+        if real < 0 or real + half > qlen:
+            continue
+        n = min(half, tlen)
+        scores = sub_matrix[q2[real:real + n], t_num[:n]]
+        sc, st, en = local_best(scores)
+        if sc > best[0]:
+            best = (sc, st, en, real, abs(real))
+    return best
+
+
 class NuclAligner:
     def __init__(self, submat, gap_open: int, gap_extend: int, zdrop: int,
                  evaluer):
@@ -89,17 +119,32 @@ class NuclAligner:
         self.q_revcomp_rev = self._seq_reverse(rc, stale_rc)
 
     def align(self, t_num: np.ndarray, diagonal: int, reverse: bool,
-              mode=None):
-        """One gapped nucleotide alignment; returns an AlnResult."""
+              mode=None, wrapped: bool = False):
+        """One gapped nucleotide alignment; returns an AlnResult.
+
+        With `wrapped` the query was doubled by the caller for circular
+        end-start scoring (BandedNucleotideAligner.cpp:100-110,189-191):
+        the ungapped seed scans origQueryLen windows, the ksw2 extensions
+        are capped at origQueryLen, and coverage/E-value use origQueryLen.
+        """
         q = self.q_revcomp if reverse else self.q
         q_rev = self.q_revcomp_rev if reverse else self.q_rev
         t = np.asarray(t_num, dtype=np.int64)
         stale_t = self._map_buffer("_tbuf", t)
         t_rev = self._seq_reverse(t, stale_t)
         qlen, tlen = len(q), len(t)
+        orig_qlen = qlen // 2 if wrapped else qlen
 
-        sc, us, ue, diag, dist = compute_ungapped_alignment(
-            q, t, diagonal & 0xFFFF, self.mat)
+        if wrapped:
+            if qlen >= tlen * 2:
+                sc, us, ue, diag, dist = compute_ungapped_wrapped(
+                    q, t, diagonal & 0xFFFF, self.mat)
+            else:
+                sc, us, ue, diag, dist = compute_ungapped_alignment(
+                    q[:orig_qlen], t, diagonal & 0xFFFF, self.mat)
+        else:
+            sc, us, ue, diag, dist = compute_ungapped_alignment(
+                q, t, diagonal & 0xFFFF, self.mat)
         if diag >= 0:
             q_us, q_ue = us + dist, ue + dist
             db_us, db_ue = us, ue
@@ -107,24 +152,33 @@ class NuclAligner:
             q_us, q_ue = us, ue
             db_us, db_ue = us + dist, ue + dist
 
-        if q_ue - q_us == qlen - 1 and db_us == 0 and db_ue == tlen - 1:
+        if q_ue - q_us == orig_qlen - 1 and db_us == 0 and db_ue == tlen - 1:
             # ungapped alignment covers everything (all-M shortcut)
             aa_ids = int((q[q_us:q_ue + 1] == t[db_us:db_ue + 1]).sum())
             return self._result(sc, q_us, q_ue, db_us, db_ue, qlen, tlen,
-                                "M" * qlen, aa_ids)
+                                "M" * orig_qlen, aa_ids, wrapped)
 
         q_start_rev = (qlen - q_ue) - 1
         t_start_rev = (tlen - db_ue) - 1
-        ez = extz2(q_rev[q_start_rev:], t_rev[t_start_rev:], self.mat_flat,
+        rev_len = qlen - q_start_rev
+        if wrapped and rev_len > orig_qlen:
+            rev_len = orig_qlen
+        ez = extz2(q_rev[q_start_rev:q_start_rev + rev_len],
+                   t_rev[t_start_rev:], self.mat_flat,
                    self.m, self.go, self.ge, 64, self.zdrop,
                    SCORE_ONLY | EXTZ_ONLY)
         q_start = qlen - (q_start_rev + ez.max_q) - 1
         t_start = tlen - (t_start_rev + ez.max_t) - 1
 
-        ez_aln = extz2(q[q_start:], t[t_start:], self.mat_flat, self.m,
+        fwd_len = qlen - q_start
+        if wrapped and fwd_len > orig_qlen:
+            fwd_len = orig_qlen
+        ez_aln = extz2(q[q_start:q_start + fwd_len], t[t_start:],
+                       self.mat_flat, self.m,
                        self.go, self.ge, 64, self.zdrop, EXTZ_ONLY)
         if ez.max_q > ez_aln.max_q and ez.max_t > ez_aln.max_t:
-            ez_aln = extz2(q_rev[q_start_rev:], t_rev[t_start_rev:],
+            ez_aln = extz2(q_rev[q_start_rev:q_start_rev + rev_len],
+                           t_rev[t_start_rev:],
                            self.mat_flat, self.m, self.go, self.ge, 64,
                            self.zdrop, EXTZ_ONLY)
             cigar = list(reversed(ez_aln.cigar))
@@ -149,17 +203,24 @@ class NuclAligner:
                 backtrace.append("D" * length)
                 ti += length
         return self._result(ez_aln.max, q_start, q_end, t_start, db_end,
-                            qlen, tlen, "".join(backtrace), aa_ids)
+                            qlen, tlen, "".join(backtrace), aa_ids, wrapped)
 
-    def _result(self, score, qs, qe, ts, te, qlen, tlen, backtrace, aa_ids):
-        ev = self.evaluer.compute_evalue(int(score), qlen)
+    def _result(self, score, qs, qe, ts, te, qlen, tlen, backtrace, aa_ids,
+                wrapped=False):
+        orig_qlen = qlen // 2 if wrapped else qlen
+        ev = self.evaluer.compute_evalue(int(score), orig_qlen)
+        qcov = float(util.compute_cov(int(qs), int(qe), qlen))
+        if wrapped:
+            # doubled-query coverage is rescaled and capped
+            # (BandedNucleotideAligner.cpp:146-147,224-226)
+            qcov = min(1.0, qcov * 2)
         res = AlnResult(
             db_key=-1,
             score=int(self.evaluer.compute_bit_score(int(score)) + 0.5),
             raw_score=int(score), seq_id=0.0, eval=ev,
-            q_start=int(qs), q_end=int(qe), q_len=qlen,
+            q_start=int(qs), q_end=int(qe), q_len=orig_qlen,
             db_start=int(ts), db_end=int(te), db_len=tlen,
-            qcov=float(util.compute_cov(int(qs), int(qe), qlen)),
+            qcov=qcov,
             dbcov=float(util.compute_cov(int(ts), int(te), tlen)),
             aln_length=len(backtrace), backtrace=backtrace)
         res.aa_ids = aa_ids

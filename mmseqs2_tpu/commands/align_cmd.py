@@ -87,6 +87,8 @@ def align(par, command):
     qreader = open_seq_db(qdb_path)
     treader = qreader if same_db else open_seq_db(tdb_path)
     query_is_nucl = qreader.base_type == dbt.DBTYPE_NUCLEOTIDES
+    if par.wrapped_scoring and not query_is_nucl:
+        log.die("Wrapped scoring is only supported for nucleotides")
     if query_is_nucl:
         return _align_nucl(par, qreader, treader, same_db)
     submat = get_sub_mat(par, score_bias=par.score_bias)
@@ -278,6 +280,9 @@ def _align_nucl(par, qreader, treader, same_db):
     tdb = qdb if same_db else EncodedDB(treader, submat)
     prefdb = DBReader(pref_path)
     is_rev_pref = prefdb.base_type == dbt.DBTYPE_PREFILTER_REV_RES
+    wrapped = bool(par.wrapped_scoring)
+    if wrapped and par.realign:
+        log.die("Alternative alignments do not support wrapped scoring")
 
     evaluer = EvalueComputation(treader.total_residues(), submat,
                                 par.gap_open.nucl, par.gap_extend.nucl)
@@ -296,7 +301,12 @@ def _align_nucl(par, qreader, treader, same_db):
             qid = qreader.get_id(query_key)
             q_num = qdb.seq_num(qid)
             q_len = qdb.seq_len(qid)
-            aligner.init_query(q_num)
+            if wrapped:
+                # double the query for circular end-start scoring
+                # (Alignment.cpp:332-338)
+                aligner.init_query(np.concatenate([q_num, q_num]))
+            else:
+                aligner.init_query(q_num)
 
             accepted = []
             passed = 0
@@ -317,7 +327,8 @@ def _align_nucl(par, qreader, treader, same_db):
                 # a hit is reversed iff its prefilter score is negative
                 # in a PREFILTER_REV_RES DB (rescorediagonal.cpp:200-205)
                 res = aligner.align(tdb.seq_num(tid), diag,
-                                    is_rev_pref and score_in < 0)
+                                    is_rev_pref and score_in < 0,
+                                    wrapped=wrapped)
                 res.db_key = key
                 aln_num += 1
                 res.seq_id = float(autil.compute_seq_id(

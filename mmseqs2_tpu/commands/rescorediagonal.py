@@ -132,16 +132,68 @@ def parse_precision_lib(text: str, target_seqid: float, target_cov: float,
     return 0.0
 
 
+def _wrapped_best_window(q2, t_seq, diagonal_u16, orig_qlen, amat, mode):
+    """computeUngappedWrappedAlignment (DistanceCalculator.h:57-90): score
+    an orig-query-length window of the doubled query at every u16 diagonal
+    unfolding with the mode-specific ungapped scorer, keep the strict best.
+    Negative window offsets read out of bounds in the reference and are
+    skipped.  Returns (q_offset, 0, n, diagonal) like diagonal_window."""
+    tlen = len(t_seq)
+    n = min(orig_qlen, tlen)
+    reals = []
+    dev = 1
+    while -dev * 65536 + diagonal_u16 > -tlen:
+        reals.append(-dev * 65536 + diagonal_u16 + orig_qlen)
+        dev += 1
+    dev = 0
+    while dev * 65536 + diagonal_u16 < orig_qlen:
+        reals.append(dev * 65536 + diagonal_u16)
+        dev += 1
+    best = None
+    best_score = 0
+    for real in reals:
+        if real < 0 or real + n > len(q2):
+            continue
+        qw = q2[real:real + n]
+        tw = t_seq[:n]
+        col = amat[qw, tw]
+        if mode == RESCORE_HAMMING:
+            sc = int((qw == tw).sum())
+        elif mode == RESCORE_SUBSTITUTION:
+            c = np.cumsum(col)
+            pm = np.minimum(np.minimum.accumulate(
+                np.concatenate([[0], c[:-1]])), 0)
+            sc = max(0, int((c - pm).max()))
+        elif mode == RESCORE_WINDOW_QUALITY:
+            sc = window_quality_best(qw, tw, col)[0]
+        elif mode == RESCORE_END_TO_END:
+            sc = int(col.sum())
+        else:
+            sc = local_best(col)[0]
+        if best is None or sc > best_score:
+            best = (real, 0, n, real)
+            best_score = sc
+    return best
+
+
 def rescorediagonal(par, command):
     q_path, t_path, res_path, out_path = par.filenames[:4]
     same_db = q_path == t_path
     qdb = DBReader(q_path)
     tdb = qdb if same_db else DBReader(t_path)
     res = DBReader(res_path)
-    submat = get_submat(par.sub_mat.aa, 2.0, 0.0)
+    # nucleotide inputs use the nucleotide matrix at scale 1.0
+    # (rescorediagonal.cpp:83-88)
+    if qdb.base_type == dbt.DBTYPE_NUCLEOTIDES:
+        submat = get_submat(par.sub_mat.nucl, 1.0, 0.0)
+    else:
+        submat = get_submat(par.sub_mat.aa, 2.0, 0.0)
     amat = ascii_submat(submat)
     evaluer = EvalueComputation(tdb.total_residues(), submat, 0, 0)
     mode = par.rescore_mode
+    wrapped = bool(par.wrapped_scoring)
+    if wrapped and qdb.base_type != dbt.DBTYPE_NUCLEOTIDES:
+        log.die("Wrapped scoring is only supported for nucleotides.")
     rev_pref = res.base_type == dbt.DBTYPE_PREFILTER_REV_RES
     rc_table = None
     if rev_pref:
@@ -178,6 +230,12 @@ def rescorediagonal(par, command):
             qid = qdb.get_id(q_key)
             q_fwd = np.frombuffer(qdb.get_seq(qid), dtype=np.uint8)
             q_len = len(q_fwd)
+            full_qlen = q_len
+            if wrapped:
+                # double the query for circular end-start scoring
+                # (rescorediagonal.cpp:166-171); stats use the original len
+                q_fwd = np.concatenate([q_fwd, q_fwd])
+                full_qlen = 2 * q_len
             q_rev_seq = None
             if rev_pref:
                 # reverse complement at the byte level
@@ -195,7 +253,11 @@ def rescorediagonal(par, command):
                 if not autil.can_be_covered(par.cov_thr, par.cov_mode,
                                             float(q_len), float(t_len)):
                     continue
-                win = diagonal_window(q_len, t_len, diag)
+                if wrapped and t_len <= q_len:
+                    win = _wrapped_best_window(q_seq, t_seq, diag, q_len,
+                                               amat, mode)
+                else:
+                    win = diagonal_window(q_len, t_len, diag)
                 if win is None:
                     continue
                 qs, ts, n, d = win
@@ -254,6 +316,11 @@ def rescorediagonal(par, command):
                                 aln_len)
                         q_cov = autil.compute_cov(q_s, q_e, q_len)
                         t_cov = autil.compute_cov(t_s, t_e, t_len)
+                        if is_rev:
+                            # reversed hits report flipped query coords
+                            # (rescorediagonal.cpp:310-313)
+                            q_s = full_qlen - q_s - 1
+                            q_e = full_qlen - q_e - 1
                         bt = "M" * aln_len if par.add_backtrace else ""
                         result = AlnResult(
                             db_key=key, score=bit_score, raw_score=distance,
