@@ -74,7 +74,8 @@ def sort_results(results):
 
 class Aligner:
     def __init__(self, submat, gap_open: int, gap_extend: int, evaluer,
-                 comp_bias_corr: bool = True, comp_bias_scale: float = 1.0):
+                 comp_bias_corr: bool = True, comp_bias_scale: float = 1.0,
+                 corr_score_weight: float = 0.0):
         self.submat = submat
         self.mat = submat.sub_matrix.astype(np.int32)
         self.go = int(gap_open)
@@ -85,6 +86,7 @@ class Aligner:
         self.evaluer = evaluer
         self.comp_bias_corr = comp_bias_corr
         self.comp_bias_scale = comp_bias_scale
+        self.corr_score_weight = float(corr_score_weight)
         self.mat_min = int(self.mat[: submat.alphabet_size,
                                     : submat.alphabet_size].min())
 
@@ -301,15 +303,35 @@ class Aligner:
                 t_win = t_num[res.db_start:]
                 qi = ti = 0
                 aa_ids = 0
+                m_scores = []
                 for op in bt:
                     if op == 'M':
                         aa_ids += int(t_win[ti] == q_win[qi])
+                        if self.corr_score_weight > 0.0:
+                            # int8 per-column match score incl. bias
+                            # (StripedSmithWaterman.cpp:1289-1292)
+                            m_scores.append(np.int8(
+                                ctx.profile[int(t_win[ti]),
+                                            res.q_start + qi]))
                         qi += 1
                         ti += 1
                     elif op == 'I':
                         qi += 1
                     else:
                         ti += 1
+                if self.corr_score_weight > 0.0:
+                    # neighbour-column score correlation bonus
+                    # (StripedSmithWaterman.cpp:1249-1253,1338-1362)
+                    sc = np.asarray(m_scores, dtype=np.int64)
+                    corr = sum(int((sc[lag:] * sc[:-lag]).sum())
+                               for lag in (1, 2, 3, 4) if len(sc) > lag)
+                    new_raw = int(np.float32(res.raw_score)
+                                  + np.float32(corr)
+                                  * np.float32(self.corr_score_weight))
+                    res.raw_score = new_raw
+                    res.eval = self.evaluer.compute_evalue(new_raw, qL)
+                    res.score = int(
+                        self.evaluer.compute_bit_score(new_raw) + 0.5)
                 res.seq_id = float(util.compute_seq_id(
                     seq_id_mode, aa_ids, qL, res.db_len, res.aln_length))
         return results

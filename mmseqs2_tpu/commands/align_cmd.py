@@ -123,14 +123,16 @@ def align(par, command):
     evaluer = EvalueComputation(treader.total_residues(), submat,
                                 par.gap_open.aa, par.gap_extend.aa)
     aligner = Aligner(submat, par.gap_open.aa, par.gap_extend.aa, evaluer,
-                      par.comp_bias_corr, par.comp_bias_corr_scale)
+                      par.comp_bias_corr, par.comp_bias_corr_scale,
+                      par.corr_score_weight)
     realigner = aligner
     if realign and par.realign_score_bias != 0.0:
         realign_mat = get_sub_mat(
             par, score_bias=par.score_bias + par.realign_score_bias)
         realigner = Aligner(realign_mat, par.gap_open.aa, par.gap_extend.aa,
                             evaluer, par.comp_bias_corr,
-                            par.comp_bias_corr_scale)
+                            par.comp_bias_corr_scale,
+                            par.corr_score_weight)
 
     # --alignment-output-mode 1: key-only cluster format
     # (Alignment.cpp:250-252, 499-503)

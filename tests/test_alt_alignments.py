@@ -24,3 +24,25 @@ def test_alt_alignments(tmp_path):
                          cmd, cmd.min_db, cmd.max_db)
     assert cmd.load()(par, cmd) == 0
     assert open(out, "rb").read() == (G / "refalt2").read_bytes()
+
+
+def test_corr_score_weight(tmp_path):
+    """--corr-score-weight adds the neighbour-column score correlation
+    bonus to the raw score before bit score / E-value
+    (StripedSmithWaterman.cpp:1249-1253,1338-1362).  Golden:
+    align q8 toy/qdb prefsub out -a --corr-score-weight 0.1 -e 10."""
+    from mmseqs2_tpu.db.reader import DBReader
+    TOY = pathlib.Path(__file__).parent / "golden" / "toy"
+    out = str(tmp_path / "aln")
+    cmd = get_command("align")
+    par = Params().parse([str(G / "q8"), str(TOY / "qdb"),
+                          str(G / "prefsub"), out,
+                          "-a", "--corr-score-weight", "0.1",
+                          "--threads", "1", "-e", "10"],
+                         cmd, cmd.min_db, cmd.max_db)
+    assert cmd.load()(par, cmd) == 0
+    a, b = DBReader(out), DBReader(str(G / "refcorr"))
+    assert a.size == b.size
+    for i in range(b.size):
+        k = b.get_db_key(i)
+        assert a.get_data(a.get_id(k)) == b.get_data(b.get_id(k))
