@@ -224,12 +224,108 @@ def cluster(par, command):
                     [next_order, cur_input + "_h", next_input + "_h"], par)
             cur_input = next_input
 
-    if not_exists(out_db):
+    if par.cluster_reassign:
+        clu = wf.path("clu")
+        wf.step(clu, "mergeclusters",
+                [seq_db, clu, clu_red] + clu_steps, par)
+        _cluster_reassign(par, wf, seq_db, clu, out_db)
+    elif not_exists(out_db):
         wf.step(out_db, "mergeclusters",
                 [seq_db, out_db, clu_red] + clu_steps, par)
     if par.remove_tmp_files:
         wf.cleanup(True)
     return 0
+
+
+def _cluster_reassign(par, wf, seq_db, clu, out_db):
+    """`--cluster-reassign`: correct cascaded-clustering errors by realigning
+    every member against its representative, pulling out members that miss
+    the clustering thresholds, and re-assigning them to their best-matching
+    seed (reference data/workflow/cascaded_clustering.sh:161-283 +
+    src/workflow/Cluster.cpp:256-268: reassign prefilter runs with the
+    swapped coverage mode, align with the original)."""
+    HUGE_E = ["--e-profile", "100000000", "-e", "100000000"]
+    aln = wf.path("reassign_aln")
+    wf.step(aln, "align", [seq_db, seq_db, clu, aln], par)
+    not_acc = wf.path("clu_not_accepted")
+    wf.step(not_acc, "subtractdbs", [clu, aln, not_acc] + HUGE_E, par)
+    not_acc_swap = wf.path("clu_not_accepted_swap")
+    wf.step(not_acc_swap, "swapdb", [not_acc, not_acc_swap], par)
+    if os.path.getsize(not_acc_swap + ".index") == 0:
+        # nothing to reassign
+        for suf in ("", ".index", ".dbtype"):
+            os.replace(clu + suf, out_db + suf)
+        return
+    acc = wf.path("clu_accepted")
+    wf.step(acc, "subtractdbs", [clu, not_acc, acc] + HUGE_E, par)
+    wrong = wf.path("seq_wrong_assigned")
+    wf.step(wrong, "createsubdb", [not_acc_swap, seq_db, wrong], par)
+    seeds = wf.path("seq_seeds")
+    wf.step(seeds, "createsubdb", [clu, seq_db, seeds], par)
+
+    # two-file merged seq DB: seeds then wrong-assigned, offsets shifted
+    # (cascaded_clustering.sh:217-224)
+    merged = wf.path("seq_seeds.merged")
+    if not_exists(merged):
+        max_off = 0
+        lines = []
+        with open(seeds + ".index", "rb") as f:
+            for line in f:
+                p = line.split(b"\t")
+                max_off = max(max_off, int(p[1]) + int(p[2]))
+                lines.append(line)
+        with open(wrong + ".index", "rb") as f:
+            for line in f:
+                p = line.split(b"\t")
+                lines.append(b"\t".join(
+                    [p[0], str(int(p[1]) + max_off).encode(), p[2]]))
+        with open(merged + ".index", "wb") as f:
+            f.writelines(lines)
+        for i, src in ((0, seeds), (1, wrong)):
+            dst = f"{merged}.{i}"
+            if os.path.lexists(dst):
+                os.unlink(dst)
+            os.symlink(os.path.abspath(src), dst)
+        import shutil
+        shutil.copyfile(seeds + ".dbtype", merged + ".dbtype")
+
+    pref = wf.path("seq_wrong_assigned_pref")
+    orig_cov = par.cov_mode
+    par.set("cov_mode", {1: 2, 2: 1}.get(orig_cov, orig_cov))
+    wf.step(pref, "prefilter", [wrong, merged, pref,
+                                "-s", round(par.sensitivity, 3)], par)
+    par.set("cov_mode", orig_cov)
+    pref_swap = wf.path("seq_wrong_assigned_pref_swaped")
+    wf.step(pref_swap, "swapdb", [pref, pref_swap], par)
+    aln2 = wf.path("seq_wrong_assigned_pref_swaped_aln")
+    wf.step(aln2, "align", [merged, wrong, pref_swap, aln2], par)
+    ocol = aln2 + "_ocol"
+    wf.step(ocol, "filterdb", [aln2, ocol, "--trim-to-one-column", 1], par)
+    plus_wrong = wf.path("clu_accepted_plus_wrong")
+    wf.step(plus_wrong, "mergedbs", [merged, plus_wrong, acc, ocol], par)
+
+    # singletons that dropped out entirely (cascaded_clustering.sh:258-263)
+    singles_tsv = wf.path("missing.single.seqs")
+    singles = singles_tsv + ".db"
+    if not_exists(singles):
+        big = set()
+        with open(plus_wrong + ".index", "rb") as f:
+            for line in f:
+                p = line.split(b"\t")
+                if int(p[2]) > 1:
+                    big.add(p[0])
+        with open(seq_db + ".index", "rb") as f, \
+                open(singles_tsv, "wb") as out:
+            for line in f:
+                k = line.split(b"\t")[0]
+                if k not in big:
+                    out.write(k + b"\t" + k + b"\n")
+        wf.step(singles, "tsv2db",
+                [singles_tsv, singles, "--output-dbtype", 6], par)
+    plus_single = wf.path("clu_accepted_plus_wrong_plus_single")
+    wf.step(plus_single, "mergedbs",
+            [seq_db, plus_single, plus_wrong, singles], par)
+    wf.step(out_db, "clust", [seq_db, plus_single, out_db], par)
 
 
 def clusterupdate(par, command):
