@@ -51,9 +51,9 @@ def linclust(par, command):
     # the workflow serializes current values explicitly
     # (createParameterString), so the k-mer stage sees --kmer-per-seq 21
     # (the global default) rather than the standalone command's 20
-    # our linclust implements the v1 (linclust1) module; pass the version
-    # down so kmermatcher stays on the longest-center path (the v2
-    # center-swapping chain belongs to the align2clust module)
+    if par.linclust_version == 2:
+        # reference-default linclust2 module (align2clust chain)
+        return _linclust_v2(par, wf, seq_db, out_db)
     pref = wf.path("pref")
     wf.step(pref, "kmermatcher",
             [seq_db, pref, "--kmer-per-seq", par.kmer_per_seq,
@@ -115,6 +115,103 @@ def linclust(par, command):
     return 0
 
 
+def _linclust_v2(par, wf, seq_db, out_db):
+    """linclust2 module: kmermatcher (v2 center-swapping chain) ->
+    align2clust -> representative refinement pass -> mergeclusters,
+    with optional clusthash pre-clustering and consensus-rep switching.
+
+    Reference: data/workflow/linclust.sh:21-140 +
+    src/workflow/Linclust.cpp:168-201 (first kmermatcher pass runs with
+    spaced k-mers and masking off, the refinement pass with spaced k-mers
+    on and --kmer-per-seq-scale 0.1)."""
+    # --switch-consensus-rep reuses the rep->member alignments, so force
+    # their creation (Linclust.cpp:54-64)
+    keep_aln = par.was_set("include_align_files") and par.include_align_files
+    if par.switch_consensus_rep:
+        par.set("include_align_files", True)
+        par.set("add_backtrace", True)
+    source = seq_db
+    cur = seq_db
+    clusthash_clu = None
+    if par.clust_hash:
+        ch = wf.path("input_clusthash")
+        orig_id = par.min_seq_id
+        par.set("min_seq_id", max(0.9, orig_id))
+        wf.step(ch, "clusthash", [cur, ch], par)
+        par.set("min_seq_id", orig_id)
+        clusthash_clu = wf.path("input_clusthash_clust")
+        wf.step(clusthash_clu, "clust", [cur, ch, clusthash_clu], par)
+        order = wf.path("order_clusthash_redundancy")
+        if not os.path.exists(order):
+            _write_rep_order(clusthash_clu, order)
+        red = wf.path("input_clusthash_redundancy")
+        wf.step(red, "createsubdb",
+                [order, source, red, "--subdb-mode", 1], par)
+        wf.step(red + "_h", "createsubdb",
+                [order, source + "_h", red + "_h"], par)
+        cur = red
+
+    pref = wf.path("pref")
+    wf.step(pref, "kmermatcher",
+            [cur, pref, "--spaced-kmer-mode", 0, "--mask", 0], par)
+    clu = wf.path("clu")
+    wf.step(clu, "align2clust", [cur, pref, clu], par)
+    if clusthash_clu is not None:
+        clu_merged = wf.path("clu_merged")
+        wf.step(clu_merged, "mergeclusters",
+                [source, clu_merged, clusthash_clu, clu], par)
+        cludb = clu_merged
+    else:
+        cludb = clu
+
+    # refinement pass over the representatives
+    rep_order = wf.path("order_rep")
+    if not os.path.exists(rep_order):
+        _write_rep_order(cludb, rep_order)
+    input_rep = wf.path("input_rep")
+    wf.step(input_rep, "createsubdb",
+            [rep_order, cur, input_rep, "--subdb-mode", 1], par)
+    wf.step(input_rep + "_h", "createsubdb",
+            [rep_order, cur + "_h", input_rep + "_h"], par)
+    pref_rep = wf.path("pref_rep")
+    wf.step(pref_rep, "kmermatcher",
+            [input_rep, pref_rep, "--spaced-kmer-mode", 1,
+             "--kmer-per-seq-scale", "0.1"], par)
+    clu_rep = wf.path("clu_rep")
+    wf.step(clu_rep, "align2clust",
+            [input_rep, pref_rep, clu_rep,
+             "--filter-cludb-file", cludb,
+             "--filter-seqdb-file", source], par)
+    wf.step(out_db, "mergeclusters", [source, out_db, cludb, clu_rep], par)
+
+    # union the per-pass alignment files keyed by the final representatives
+    if os.path.exists(clu_rep + "_aln.dbtype"):
+        if os.path.exists(clu + "_aln.dbtype"):
+            wf.step(out_db + "_aln", "mergedbs",
+                    [out_db, out_db + "_aln", clu + "_aln", clu_rep + "_aln",
+                     "--merge-filter-target", 1], par)
+        else:
+            for suf in ("", ".index", ".dbtype"):
+                if os.path.exists(clu_rep + "_aln" + suf):
+                    os.replace(clu_rep + "_aln" + suf,
+                               out_db + "_aln" + suf)
+
+    if par.switch_consensus_rep:
+        switched = wf.path("clu_switched")
+        wf.step(switched, "pickconsensusrepfast",
+                [seq_db, out_db, switched, wf.path("switch_tmp")], par)
+        for suf in ("", ".index", ".dbtype"):
+            if os.path.exists(switched + suf):
+                os.replace(switched + suf, out_db + suf)
+        if not keep_aln:
+            for suf in ("", ".index", ".dbtype"):
+                if os.path.exists(out_db + "_aln" + suf):
+                    os.remove(out_db + "_aln" + suf)
+    if par.remove_tmp_files:
+        wf.cleanup(True)
+    return 0
+
+
 def _auto_sensitivity(seq_id_thr: float) -> float:
     if seq_id_thr <= 0.3:
         return 6.0
@@ -126,10 +223,9 @@ def _auto_sensitivity(seq_id_thr: float) -> float:
 def cluster(par, command):
     seq_db, out_db, tmp = par.filenames[:3]
     wf = Workflow(tmp, par.force_reuse)
-    if par.switch_consensus_rep:
+    if par.switch_consensus_rep and par.cluster_version != 2:
         # reference: only supported with align2clust-based cluster-version 2
-        # (Cluster.cpp:143-147); our cascaded path is the v1 align+clust
-        # pipeline — run pickconsensusrep explicitly instead
+        # (Cluster.cpp:143-147)
         log.warning("--switch-consensus-rep is only supported with "
                     "--cluster-version 2; ignoring. Run pickconsensusrep "
                     "on the result to switch representatives.")
@@ -149,6 +245,9 @@ def cluster(par, command):
     steps = par.cluster_steps if par.was_set("cluster_steps") else (
         1 if par.sensitivity <= 2.0 else 3)
     log.info(f"Set cluster iterations to {steps}")
+
+    if par.cluster_version == 2 and not par.single_step_clustering:
+        return _cluster_v2(par, wf, seq_db, out_db)
 
     if par.single_step_clustering:
         pref = wf.path("pref")
@@ -326,6 +425,83 @@ def _cluster_reassign(par, wf, seq_db, clu, out_db):
     wf.step(plus_single, "mergedbs",
             [seq_db, plus_single, plus_wrong, singles], par)
     wf.step(out_db, "clust", [seq_db, plus_single, out_db], par)
+
+
+def _cluster_v2(par, wf, seq_db, out_db):
+    """cluster2 module: linclust redundancy pass -> prefilter over the
+    representatives at the target sensitivity -> align2clust (gated on the
+    redundancy pre-clusters) -> mergeclusters, with optional consensus-rep
+    switching.  Reference data/workflow/cascaded_clustering.sh:50-107 +
+    src/workflow/Cluster.cpp:269-288 (Cluster.cpp:270-276 derives the
+    linclust-equivalent sensitivity from --min-seq-id)."""
+    keep_aln = par.was_set("include_align_files") and par.include_align_files
+    if par.switch_consensus_rep:
+        # force alignment files for the rep switch (Cluster.cpp:61-64 analog)
+        par.set("include_align_files", True)
+        par.set("add_backtrace", True)
+    # v2 derives its own sensitivity from --min-seq-id, overriding -s
+    # (Cluster.cpp:269-276 has no wasSet guard)
+    if par.min_seq_id >= 0.7:
+        sens = 0.0
+    elif par.min_seq_id <= 0.3:
+        sens = 3.0 + 10.0 * (0.3 - par.min_seq_id)
+    else:
+        sens = 3.0 * (0.7 - par.min_seq_id) / (0.7 - 0.3)
+    par.set("sensitivity", sens)
+    clu_red = wf.path("clu_redundancy")
+    # the inner linclust must not already switch representatives
+    # (Cluster.cpp:277-282)
+    prev_switch = par.switch_consensus_rep
+    par.set("switch_consensus_rep", False)
+    wf.step(clu_red, "linclust",
+            [seq_db, clu_red, wf.path("linclust"),
+             "--min-seq-id", par.min_seq_id, "-c", par.cov_thr,
+             "--cov-mode", par.cov_mode, "-e", par.evalue,
+             "--remove-tmp-files", int(par.remove_tmp_files)], par)
+    par.set("switch_consensus_rep", prev_switch)
+
+    order = wf.path("order_redundancy")
+    if not os.path.exists(order):
+        _write_rep_order(clu_red, order)
+    cur = wf.path("input_step_redundancy")
+    wf.step(cur, "createsubdb", [order, seq_db, cur, "--subdb-mode", 1],
+            par)
+    wf.step(cur + "_h", "createsubdb",
+            [order, seq_db + "_h", cur + "_h"], par)
+
+    pref = wf.path("pref_rep")
+    wf.step(pref, "prefilter",
+            [cur, cur, pref, "-s", round(par.sensitivity, 3)], par)
+    clu2 = wf.path("clu2_rep")
+    wf.step(clu2, "align2clust",
+            [cur, pref, clu2, "--filter-cludb-file", clu_red,
+             "--filter-seqdb-file", seq_db], par)
+    wf.step(out_db, "mergeclusters", [seq_db, out_db, clu_red, clu2], par)
+
+    if os.path.exists(clu2 + "_aln.dbtype"):
+        if os.path.exists(clu_red + "_aln.dbtype"):
+            wf.step(out_db + "_aln", "mergedbs",
+                    [out_db, out_db + "_aln", clu_red + "_aln",
+                     clu2 + "_aln", "--merge-filter-target", 1], par)
+        else:
+            for suf in ("", ".index", ".dbtype"):
+                if os.path.exists(clu2 + "_aln" + suf):
+                    os.replace(clu2 + "_aln" + suf, out_db + "_aln" + suf)
+
+    if par.switch_consensus_rep:
+        switched = wf.path("clu_switched")
+        wf.step(switched, "pickconsensusrepfast",
+                [seq_db, out_db, switched, wf.path("switch_tmp")], par)
+        for suf in ("", ".index", ".dbtype"):
+            if os.path.exists(switched + suf):
+                os.replace(switched + suf, out_db + suf)
+        if not keep_aln:
+            for suf in ("", ".index", ".dbtype"):
+                if os.path.exists(out_db + "_aln" + suf):
+                    os.remove(out_db + "_aln" + suf)
+    if par.remove_tmp_files:
+        wf.cleanup(True)
+    return 0
 
 
 def clusterupdate(par, command):

@@ -177,8 +177,11 @@ def test_kmermatcher_v2_parity(tmp_path, flags, golden):
 
 @pytest.mark.slow
 def test_linclust_workflow_parity(tmp_path):
+    # golden from the reference forced to --linclust-version 1 (the v2
+    # align2clust path aborts in the patched reference build)
     out = str(tmp_path / "linclu")
-    run_cmd("linclust", [str(GOLDEN / "qdb"), out, str(tmp_path / "tmp")])
+    run_cmd("linclust", [str(GOLDEN / "qdb"), out, str(tmp_path / "tmp"),
+                         "--linclust-version", "1"])
     got = entries_by_key(out)
     want = entries_by_key(str(GOLDEN / "linclu"))
     assert got == want
@@ -187,7 +190,8 @@ def test_linclust_workflow_parity(tmp_path):
 @pytest.mark.slow
 def test_cluster_workflow_parity(tmp_path):
     out = str(tmp_path / "casclu")
-    run_cmd("cluster", [str(GOLDEN / "qdb"), out, str(tmp_path / "tmp")])
+    run_cmd("cluster", [str(GOLDEN / "qdb"), out, str(tmp_path / "tmp"),
+                        "--linclust-version", "1"])
     got = entries_by_key(out)
     want = entries_by_key(str(GOLDEN / "casclu"))
     assert got == want
