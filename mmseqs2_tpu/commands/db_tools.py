@@ -36,17 +36,50 @@ def _read_key_file(path):
 def createsubdb(par, command):
     """Subset a DB by a key file; sequence-DB ancillary files (headers,
     lookup, source) are symlinked like the reference's
-    DBReader::softlinkDb(SEQUENCE_ANCILLARY) (createsubdb.cpp)."""
+    DBReader::softlinkDb(SEQUENCE_ANCILLARY) (createsubdb.cpp).
+
+    --subdb-mode 1 (SUBDB_MODE_SOFT, createsubdb.cpp:64-65,87-89): write
+    only an index referencing the original offsets and symlink the data
+    file instead of copying entries."""
     subset, db, out = par.filenames[:3]
     keys = _read_key_file(subset)
-    with DBReader(db) as r, \
-            DBWriter(out, r.base_type, r.extended_type) as w:
-        for key in keys:
-            i = r.get_id(key)
-            if i < 0:
-                continue
-            # preserve raw payload incl. trailing newline, re-add terminator
-            w.write(key, r.get_data(i))
+    if par.subdb_mode == 1:
+        with DBReader(db) as r:
+            rows = []
+            for key in keys:
+                i = r.get_id(key)
+                if i < 0:
+                    log.warning(f"Key {key} not found in database")
+                    continue
+                rows.append((key, int(r.offsets[i]), int(r.lengths[i])))
+            # writer.close(..., !isOrdered) sorts the index by key
+            rows.sort()
+            with open(out + ".index", "w") as f:
+                f.writelines(f"{k}\t{o}\t{n}\n" for k, o, n in rows)
+            # symlink every data file (plain or multi-file .0/.1/...)
+            for suf in [""] + [f".{k}" for k in range(64)]:
+                src = db + suf
+                if not os.path.exists(src):
+                    if suf != "":
+                        break
+                    continue
+                dst = out + suf
+                if os.path.lexists(dst):
+                    os.unlink(dst)
+                os.symlink(os.path.abspath(src), dst)
+            with open(out + ".dbtype", "wb") as f, \
+                    open(db + ".dbtype", "rb") as g:
+                f.write(g.read())
+    else:
+        with DBReader(db) as r, \
+                DBWriter(out, r.base_type, r.extended_type) as w:
+            for key in keys:
+                i = r.get_id(key)
+                if i < 0:
+                    continue
+                # preserve raw payload incl. trailing newline,
+                # re-add terminator
+                w.write(key, r.get_data(i))
     for suf in ("_h", "_h.index", "_h.dbtype", ".lookup", ".source",
                 "_mapping", "_taxonomy", "_nodes.dmp", "_names.dmp",
                 "_merged.dmp"):
