@@ -54,6 +54,9 @@ def createsubdb(par, command):
                 rows.append((key, int(r.offsets[i]), int(r.lengths[i])))
             # writer.close(..., !isOrdered) sorts the index by key
             rows.sort()
+            for suf in (".index", ".dbtype"):
+                if os.path.islink(out + suf):
+                    os.unlink(out + suf)
             with open(out + ".index", "w") as f:
                 f.writelines(f"{k}\t{o}\t{n}\n" for k, o, n in rows)
             # symlink every data file (plain or multi-file .0/.1/...)

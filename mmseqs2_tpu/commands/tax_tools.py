@@ -341,6 +341,20 @@ def taxonomy(par, command):
         log.warning("2bLCA was replaced by approximate 2bLCA")
         mode = 3
 
+    from ..db import dbtype as dbt
+    from ..db.reader import DBReader
+    q_type = DBReader(qdb).base_type
+    t_type = DBReader(tdb).base_type
+    if q_type == dbt.DBTYPE_NUCLEOTIDES and t_type == dbt.DBTYPE_NUCLEOTIDES:
+        if mode == 3:
+            log.warning("Accel. 2bLCA cannot be used with nucl-nucl "
+                        "taxonomy, using top-hit instead")
+            mode = 4
+    elif q_type == dbt.DBTYPE_NUCLEOTIDES:
+        # nucleotide contigs vs protein targets: ORF-aggregated taxonomy
+        # (Taxonomy.cpp:103-137 -> data/workflow/taxpercontig.sh)
+        return _tax_per_contig(par, wf, qdb, tdb, out)
+
     search_args = [qdb, tdb, wf.path("first"), wf.path("tmp_hsp1"),
                    "-s", par.sensitivity, "-e", par.evalue,
                    "--max-accept", par.max_accept,
@@ -368,6 +382,93 @@ def taxonomy(par, command):
         import shutil
         for suf in ("", ".index", ".dbtype"):
             shutil.copyfile(lca_in + suf, out + suf)
+    if par.remove_tmp_files:
+        wf.cleanup(True)
+    return 0
+
+
+def _tax_per_contig(par, wf, contigs, taxdb, out):
+    """taxpercontig.sh: extractorfs --translate -> optional non-selective
+    ORF prefilter (+recoverlongestorf) -> per-ORF taxonomy -> contig-level
+    aggregatetaxweights / top-hit alignment merge.
+    Reference data/workflow/taxpercontig.sh + src/workflow/Taxonomy.cpp:
+    103-137 (ORF filter: --min-ungapped-score 3, -s orf-filter-s,
+    --diag-score 0, --max-seqs 1; rescorediagonal -e orf-filter-e
+    --rescore-mode 2; soft subdb)."""
+    import shutil
+
+    from ..db import dbtype as dbt
+
+    orfs = wf.path("orfs_aa")
+    orig_translate = par.translate
+    par.set("translate", 1)
+    wf.step(orfs, "extractorfs", [contigs, orfs], par)
+    par.set("translate", orig_translate)
+
+    if par.orf_filter and par.orf_filter_s <= par.sensitivity:
+        pref = wf.path("orfs_pref")
+        wf.step(pref, "prefilter",
+                [orfs, taxdb, pref, "--min-ungapped-score", 3,
+                 "-s", par.orf_filter_s, "--diag-score", 0,
+                 "--max-seqs", 1], par)
+        aln = wf.path("orfs_aln")
+        wf.step(aln, "rescorediagonal",
+                [orfs, taxdb, pref, aln, "-e", par.orf_filter_e,
+                 "--rescore-mode", 2], par)
+        lst = wf.path("orfs_aln.list")
+        if not os.path.exists(lst):
+            rec = wf.path("orfs_aln_recovered.list")
+            wf.step_always("recoverlongestorf", [orfs, aln, rec], par)
+            with open(lst, "w") as f:
+                with open(rec) as g:
+                    f.write(g.read())
+                with open(aln + ".index") as g:
+                    for line in g:
+                        p = line.split("\t")
+                        if int(p[2]) > 1:
+                            f.write(p[0] + "\n")
+        filt = wf.path("orfs_filter")
+        wf.step(filt, "createsubdb",
+                [lst, orfs, filt, "--subdb-mode", 1], par)
+        # drop the auto-symlinked header db so the real subset is built
+        # (taxpercontig.sh:60 rmdb orfs_filter_h)
+        if os.path.islink(filt + "_h"):
+            for suf in ("", ".index", ".dbtype"):
+                if os.path.lexists(filt + "_h" + suf):
+                    os.unlink(filt + "_h" + suf)
+        wf.step(filt + "_h", "createsubdb",
+                [lst, orfs + "_h", filt + "_h", "--subdb-mode", 1], par)
+        orfs = filt
+
+    tax = wf.path("orfs_tax")
+    orig_lineage = par.tax_lineage
+    orig_out_mode = par.tax_output_mode
+    par.set("tax_lineage", 0)
+    par.set("tax_output_mode", 2)
+    wf.step(tax, "taxonomy", [orfs, taxdb, tax, wf.path("tmp_taxonomy")],
+            par)
+    par.set("tax_lineage", orig_lineage)
+    par.set("tax_output_mode", orig_out_mode)
+
+    from ..workflow.engine import not_exists
+    swapped = wf.path("orfs_h_swapped")
+    if not_exists(swapped):
+        wf.step(swapped, "swapdb", [orfs + "_h", swapped], par)
+        # the swapped header db is consumed as a result db
+        # (taxpercontig.sh:82 forces dbtype 5)
+        with open(swapped + ".dbtype", "wb") as f:
+            f.write(bytes([dbt.DBTYPE_ALIGNMENT_RES, 0, 0, 0]))
+
+    if par.tax_output_mode in (0, 2):
+        wf.step(out, "aggregatetaxweights",
+                [taxdb, swapped, tax, tax + "_aln", out], par)
+    if par.tax_output_mode in (1, 2):
+        first = wf.path("orfs_tax_aln_first")
+        wf.step(first, "filterdb",
+                [tax + "_aln", first, "--extract-lines", 1], par)
+        out_aln = out if par.tax_output_mode == 1 else out + "_aln"
+        wf.step(out_aln, "mergeresultsbyset", [swapped, first, out_aln],
+                par)
     if par.remove_tmp_files:
         wf.cleanup(True)
     return 0
