@@ -122,7 +122,13 @@ def result2msa(par, command):
                 a.db_start = h["db_start"]
                 a.backtrace = h["backtrace"]
                 alns.append(a)
-            msa = msamod.compute_msa_nodel(q_num, edge_seqs, alns)
+            if par.allow_deletion:
+                # rows may exceed the center length; emission and the MSA
+                # filter read only centerLength columns (result2msa.cpp:260)
+                msa = msamod.compute_msa_del(q_num, edge_seqs,
+                                             alns)[:, :len(q_num)]
+            else:
+                msa = msamod.compute_msa_nodel(q_num, edge_seqs, alns)
             set_size, center_len = msa.shape
             if par.filter_msa:
                 kept_idx, _ = msafilter.filter_msa(
