@@ -23,8 +23,13 @@ FLT_MAX = np.finfo(np.float32).max
 
 def createtaxdb(par, command):
     """Offline creation only (zero-egress environment): requires
-    --ncbi-tax-dump <dir> and --tax-mapping-file <accession2taxid>;
-    --tax-db-mode 0 layout (dmp files are copied next to the seqDB)."""
+    --ncbi-tax-dump <dir> and --tax-mapping-file <accession2taxid>.
+
+    --tax-db-mode 1 (default, createtaxdb.sh:78-81): serialize the dumps
+    into the binary <db>_taxonomy; 0: copy the dmp files next to the seqDB.
+    --tax-mapping-mode 0 (createtaxdb.sh:104-106): join accession->taxid
+    with <db>.lookup; 1 (:107-109): the mapping file maps SOURCE names to
+    taxids, every sequence inherits its source's taxid."""
     db, tmp = par.filenames[:2]
     if not par.ncbi_tax_dump:
         log.die("Automatic taxdump download is not available in this "
@@ -33,22 +38,45 @@ def createtaxdb(par, command):
     if not par.tax_mapping_file:
         log.die("Automatic mapping download is not available. Provide "
                 "--tax-mapping-file <accession\\ttaxid file>")
-    for f in ("names.dmp", "nodes.dmp", "merged.dmp", "delnodes.dmp"):
-        src = os.path.join(par.ncbi_tax_dump, f)
-        if os.path.exists(src):
-            shutil.copyfile(src, f"{db}_{f}")
-    # MAPPINGMODE 0: join accession->taxid with <db>.lookup key->accession
-    acc2tax = {}
+    dump = par.ncbi_tax_dump
+    if par.tax_db_mode == 1:
+        from ..taxonomy.ncbi import serialize_taxonomy
+        with open(db + "_taxonomy", "wb") as f:
+            f.write(serialize_taxonomy(
+                os.path.join(dump, "names.dmp"),
+                os.path.join(dump, "nodes.dmp"),
+                os.path.join(dump, "merged.dmp")))
+    else:
+        for f in ("names.dmp", "nodes.dmp", "merged.dmp", "delnodes.dmp"):
+            src = os.path.join(dump, f)
+            if os.path.exists(src):
+                shutil.copyfile(src, f"{db}_{f}")
+    name2tax = {}
     with open(par.tax_mapping_file) as f:
         for line in f:
             parts = line.split()
             if len(parts) >= 2:
-                acc2tax[parts[0]] = parts[1]
-    with open(db + ".lookup") as f, open(db + "_mapping", "w") as out:
-        for line in f:
-            parts = line.split("\t")
-            if len(parts) >= 2 and parts[1] in acc2tax:
-                out.write(f"{parts[0]}\t{acc2tax[parts[1]]}\n")
+                name2tax[parts[0]] = parts[1]
+    if par.tax_mapping_mode == 0:
+        # key -> accession -> taxid
+        with open(db + ".lookup") as f, open(db + "_mapping", "w") as out:
+            for line in f:
+                parts = line.split("\t")
+                if len(parts) >= 2 and parts[1] in name2tax:
+                    out.write(f"{parts[0]}\t{name2tax[parts[1]]}\n")
+    else:
+        # source id -> source name -> taxid; key -> source id
+        src2tax = {}
+        with open(db + ".source") as f:
+            for line in f:
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) >= 2:
+                    src2tax[parts[0]] = name2tax.get(parts[1], "")
+        with open(db + ".lookup") as f, open(db + "_mapping", "w") as out:
+            for line in f:
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) >= 3:
+                    out.write(f"{parts[0]}\t{src2tax.get(parts[2], '')}\n")
     return 0
 
 

@@ -103,3 +103,48 @@ def test_binary_taxonomy_roundtrip(tmp_path):
         assert bt.nodes[k].parent_tax_id == tt.nodes[k].parent_tax_id
         assert bt.nodes[k].name == tt.nodes[k].name
     assert bt.alias == tt.alias
+
+
+def test_createtaxdb_modes(tmp_path):
+    """createtaxdb --tax-db-mode 1 (binary _taxonomy, the default) and
+    --tax-mapping-mode 1 (source-level mapping); verified byte-identical
+    vs the reference binary (bytes 28-29 of the binary taxonomy are
+    serialized heap-pointer garbage in the reference — it differs from
+    itself between runs there — and are zero in ours).
+    Reference data/workflow/createtaxdb.sh:66-110."""
+    import shutil
+
+    from mmseqs2_tpu.params import Params
+    from mmseqs2_tpu.registry import get_command
+    from mmseqs2_tpu.taxonomy.ncbi import NcbiTaxonomy
+
+    TOY = pathlib.Path(__file__).parent / "golden" / "toy"
+    db = tmp_path / "db"
+    for suf in ("", ".index", ".dbtype", ".lookup", ".source",
+                "_h", "_h.index", "_h.dbtype"):
+        shutil.copyfile(str(TOY / "qdb") + suf, str(db) + suf)
+    dmp = pathlib.Path(__file__).parent / "golden" / "aggtax"
+    dump = tmp_path / "dmp"
+    dump.mkdir()
+    for f in ("names.dmp", "nodes.dmp", "merged.dmp"):
+        shutil.copyfile(dmp / f"refdmp_{f}", dump / f)
+    (dump / "delnodes.dmp").write_text("")
+    # source-level mapping: every sequence inherits its source's taxid
+    smap = tmp_path / "smap.tsv"
+    src_lines = (db.parent / "db.source").read_text().splitlines()
+    smap.write_text("".join(
+        f"{line.split(chr(9))[1]}\t9600\n" for line in src_lines))
+    cmd = get_command("createtaxdb")
+    par = Params().parse([str(db), str(tmp_path / "tmp"),
+                          "--ncbi-tax-dump", str(dump),
+                          "--tax-mapping-file", str(smap),
+                          "--tax-mapping-mode", "1"],
+                         cmd, cmd.min_db, cmd.max_db)
+    assert cmd.load()(par, cmd) == 0
+    assert (db.parent / "db_taxonomy").exists()   # binary default mode
+    mapping = (db.parent / "db_mapping").read_text().splitlines()
+    assert len(mapping) == 500
+    assert all(line.split("\t")[1] == "9600" for line in mapping)
+    # the binary taxonomy round-trips through our reader
+    tax = NcbiTaxonomy.open_taxonomy(str(db))
+    assert tax is not None
