@@ -303,8 +303,25 @@ def renamedbkeys(par, command):
     return 0
 
 
+def _mask_repeats(num: np.ndarray, max_run: int) -> np.ndarray:
+    """Masker::maskRepeats (Masker.cpp:83-118): mask every run of more than
+    max_run identical residues."""
+    mask = np.zeros(len(num), dtype=bool)
+    if len(num) == 0:
+        return mask
+    change = np.flatnonzero(np.diff(num.astype(np.int64)) != 0) + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [len(num)]])
+    for st, en in zip(starts, ends):
+        if en - st > max_run:
+            mask[st:en] = True
+    return mask
+
+
 def masksequence(par, command):
-    """Soft-mask (lowercase) tantan repeat regions (masksequence.cpp)."""
+    """Soft-mask (lowercase) repeat regions: tantan (--mask 1, default),
+    homopolymer runs (--mask-n-repeat N), lowercase input
+    (--mask-lower-case) (masksequence.cpp + Masker.cpp:16-55)."""
     from ..data.submat import get_submat
     from ..ops.tantan import likelihood_ratio_matrix, mask_batch
 
@@ -321,11 +338,25 @@ def masksequence(par, command):
             key = reader.get_db_key(i)
             raw = reader.get_seq(i)
             num = submat.encode(raw)
-            masked, _ = mask_batch([num.copy()], lr, x_idx, par.mask_prob)
-            is_masked = masked[0] == x_idx
+            # stages run sequentially on the numeric sequence, so repeat
+            # detection sees tantan's X substitutions (Masker.cpp:16-55)
+            work = np.array(num, copy=True)
+            if par.mask:
+                masked, _ = mask_batch([work.copy()], lr, x_idx,
+                                       par.mask_prob)
+                work[masked[0] == x_idx] = x_idx
+            if par.mask_n_repeat > 0:
+                work[_mask_repeats(work, par.mask_n_repeat)] = x_idx
+            if par.mask_lower_case:
+                low = np.frombuffer(raw, dtype=np.uint8)
+                work[(low >= ord("a")) & (low <= ord("z"))] = x_idx
+            # applySoftmasking (Masker.cpp:128-137): masked (incl. original
+            # X residues) lowercased, everything else uppercased
             out = bytearray(raw)
-            for p in np.nonzero(is_masked)[0]:
-                out[p] = ord(chr(out[p]).lower())
+            lowmask = work == x_idx
+            for p in range(len(out)):
+                out[p] = (ord(chr(out[p]).lower()) if lowmask[p]
+                          else ord(chr(out[p]).upper()))
             w.write(key, bytes(out) + b"\n")
     for suf in ("_h", "_h.index", "_h.dbtype", ".lookup", ".source"):
         src, dst = in_path + suf, out_path + suf
