@@ -105,11 +105,17 @@ def view(par, command):
 
 
 def createtsv(par, command):
-    """createtsv <queryDB> [<targetDB>] <resultDB> <tsv>.
+    """createtsv <queryDB> [<targetDB>] <resultDB> <tsv>
+    (src/util/createtsv.cpp:55-200).
 
-    First column: query accession (from header DB); rest: result entry lines
-    (optionally target key -> target accession for 2-column results).
-    """
+    Column layout: queryAccession \t targetAccession [\t line...].
+    --target-column N: 1-based column holding the target key (0 = none;
+    with the default 1 the key token is stripped from the echoed line,
+    otherwise the full line is appended).  --first-seq-as-repr replaces the
+    query accession by the first entry's target accession.  --full-header
+    quotes the whole header.  Set-extended result DBs resolve accessions
+    through the .source table.  --db-output writes a GENERIC_DB instead of
+    a flat file."""
     names = par.filenames
     has_target = len(names) == 4
     if has_target:
@@ -118,30 +124,93 @@ def createtsv(par, command):
         qdb, resdb, out = names
         tdb = qdb
     from .convertalis import parse_fasta_header
-    qh = DBReader(qdb + "_h")
-    th = qh if tdb == qdb else DBReader(tdb + "_h")
     res = DBReader(resdb)
-    with open(out, "w") as f:
-        for i in range(res.size):
-            qkey = res.get_db_key(i)
-            qid = parse_fasta_header(qh.get_data(qh.get_id(qkey)).decode())
-            for line in res.get_data(i).split(b"\n"):
-                if not line:
+    need_set = bool(res.extended_type & dbt.DBTYPE_EXTENDED_SET)
+    q_src = t_src = None
+    qh = th = None
+    if need_set:
+        def read_source(path):
+            table = {}
+            with open(path) as f:
+                for line in f:
+                    p = line.rstrip("\n").split("\t")
+                    if len(p) >= 2:
+                        table[int(p[0])] = p[1]
+            return table
+        q_src = read_source(qdb + ".source")
+        t_src = read_source(tdb + ".source") if has_target else q_src
+    else:
+        qh = DBReader(qdb + "_h")
+        th = qh if tdb == qdb else DBReader(tdb + "_h")
+    tcol = None if par.target_column == 0 else par.target_column - 1
+
+    def header_of(reader, key):
+        hid = reader.get_id(key)
+        if hid < 0:
+            log.die(f"Invalid database read: key {key} not found in "
+                    f"header database")
+        data = reader.get_data(hid)
+        if par.full_header:
+            return '"' + data[:-1].decode().rstrip("\n") + '"'
+        return parse_fasta_header(data.decode())
+
+    db_writer = None
+    flat = None
+    if par.db_output:
+        db_writer = DBWriter(out, dbt.DBTYPE_GENERIC_DB,
+                             compressed=bool(par.compressed))
+    else:
+        flat = open(out, "w")
+    # LINEAR_ACCCESS iteration (createtsv.cpp:60): data-file offset order
+    for i in (int(x) for x in np.argsort(res.offsets, kind="stable")):
+        qkey = res.get_db_key(i)
+        if need_set:
+            qheader = q_src.get(qkey, "")
+        else:
+            qheader = header_of(qh, qkey)
+        buf = []
+        entry_index = 0
+        for line in res.get_data(i).split(b"\n"):
+            if not line:
+                continue
+            if tcol is None:
+                tacc = ""
+                rest = b"\t" + line
+            else:
+                words = line.split()
+                if len(words) < tcol:
+                    log.warning("Not enough columns!")
                     continue
+                key_tok = words[tcol]
                 if has_target:
-                    # replace the target-key column by its header accession
-                    # (createtsv.cpp:133-158, targetTsvColumn default 1)
-                    parts = line.split(b"\t")
-                    tkey = int(parts[0])
-                    tid = parse_fasta_header(
-                        th.get_data(th.get_id(tkey)).decode())
-                    rest = b"\t".join([tid.encode()] + parts[1:]).decode()
+                    tkey = fast_atoi(key_tok)
+                    if need_set:
+                        tacc = t_src.get(tkey, "")
+                    else:
+                        tacc = header_of(th, tkey)
                 else:
-                    rest = line.decode()
-                f.write(f"{qid}\t{rest}\n")
-    qh.close()
-    if th is not qh:
-        th.close()
+                    tacc = key_tok.decode()
+                if tcol == 0:
+                    # strip the key token, keep the separator
+                    rest = line[len(key_tok):]
+                else:
+                    rest = b"\t" + line
+            if par.first_seq_as_repr and entry_index == 0:
+                qheader = tacc
+            buf.append(f"{qheader}\t{tacc}{rest.decode()}\n")
+            entry_index += 1
+        if db_writer is not None:
+            db_writer.write(qkey, "".join(buf).encode())
+        else:
+            flat.write("".join(buf))
+    if db_writer is not None:
+        db_writer.close()
+    else:
+        flat.close()
+    if qh is not None:
+        qh.close()
+        if th is not qh:
+            th.close()
     res.close()
     return 0
 

@@ -467,11 +467,16 @@ def extractorfs(par, command):
 
 def translatenucs(par, command):
     """Translate a nucleotide sequence DB codon-wise to amino acids
-    (src/util/translatenucs.cpp)."""
+    (src/util/translatenucs.cpp).
+
+    --add-orf-stop (translatenucs.cpp:57-108): bracket complete ORFs with
+    '*' (start only when the ORF header lacks the incomplete-start flag,
+    end only when the translation does not already end in '*')."""
     from ..data.translate import TranslateNucl
 
     in_path, out_path = par.filenames[:2]
     reader = DBReader(in_path)
+    header = DBReader(in_path + "_h") if par.add_orf_stop else None
     trans = TranslateNucl(par.translation_table)
     with DBWriter(out_path, dbt.DBTYPE_AMINO_ACIDS) as w:
         for i in range(reader.size):
@@ -481,7 +486,15 @@ def translatenucs(par, command):
             if codons < 3:
                 w.write(key, b"\n")
                 continue
-            w.write(key, trans.translate(seq[:codons]) + b"\n")
+            aa = trans.translate(seq[:codons])
+            if header is not None:
+                hdata = header.get_data(header.get_id(key))
+                inc_start, inc_end = _orf_incomplete_flags(hdata)
+                if not inc_start:
+                    aa = b"*" + aa
+                if not inc_end and not aa.endswith(b"*"):
+                    aa = aa + b"*"
+            w.write(key, aa + b"\n")
     reader.close()
     for suf in ("_h", "_h.index", "_h.dbtype"):
         src, dst = in_path + suf, out_path + suf
@@ -489,6 +502,19 @@ def translatenucs(par, command):
             import shutil
             shutil.copyfile(src, dst)
     return 0
+
+
+def _orf_incomplete_flags(header_data: bytes):
+    """Orf::parseOrfHeader incomplete bits: the optional 3rd column encodes
+    hasIncompleteStart | hasIncompleteEnd << 1 (Orf.cpp:444-460)."""
+    parts = header_data.split(b"\t")
+    complete = 0
+    if len(parts) >= 3:
+        try:
+            complete = int(parts[2])
+        except ValueError:
+            complete = 0
+    return bool(complete & 1), bool(complete & 2)
 
 
 def result2dnamsa(par, command):
