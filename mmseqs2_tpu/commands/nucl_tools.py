@@ -292,14 +292,27 @@ def offsetalignment(par, command):
                     qid = qorf_h.get_id(orf_key)
                     qloc = parse_orf_header(qorf_h.get_data(qid))
                     update(results, aln.get_data(oid), qloc)
+                    if not par.merge_query:
+                        # per-ORF entries, contig-keyed, no length update
+                        # (offsetalignment.cpp:402-421)
+                        w.write(contig, "".join(
+                            _res_to_line(r) for r in results).encode())
+                        results = []
+                if not par.merge_query:
+                    continue
                 for r in results:
                     r["qLen"] = q_len
                     tid = tsrc_r.get_id(r["dbKey"])
                     if tid >= 0:
                         r["dbLen"] = tsrc_r.get_seq_len(tid)
-                # stable sort by compareHits (eval, -score, dbLen, dbKey)
-                results.sort(key=lambda r: (float(r["eval"]), -r["score"],
-                                            r["dbLen"], r["dbKey"]))
+                if par.chain_alignments:
+                    results = _chain_alignment_hits(results)
+                else:
+                    # stable sort by compareHits (eval, -score, dbLen,
+                    # dbKey)
+                    results.sort(
+                        key=lambda r: (float(r["eval"]), -r["score"],
+                                       r["dbLen"], r["dbKey"]))
                 w.write(contig, "".join(
                     _res_to_line(r) for r in results).encode())
         else:
@@ -316,6 +329,65 @@ def offsetalignment(par, command):
                 w.write(qkey, "".join(
                     _res_to_line(r) for r in results).encode())
     return 0
+
+
+def _chain_alignment_hits(results):
+    """chainAlignmentHits (offsetalignment.cpp:20-81): stable-sort by
+    (dbKey, query strand, target strand, diagonal, dbStart), then merge
+    consecutive same-diagonal overlapping hits into one region."""
+    if len(results) <= 1:
+        return results
+
+    def sort_key(r):
+        q_rev = r["qStart"] > r["qEnd"]
+        t_rev = r["dbStart"] > r["dbEnd"]
+        qs = min(r["qStart"], r["qEnd"])
+        ts = min(r["dbStart"], r["dbEnd"])
+        return (r["dbKey"], q_rev, t_rev, qs - ts, ts)
+
+    results = sorted(results, key=sort_key)
+    out = []
+    curr = None
+    prev_diag = None
+    for idx, r in enumerate(results):
+        q_rev = r["qStart"] > r["qEnd"]
+        t_rev = r["dbStart"] > r["dbEnd"]
+        qs, qe = sorted((r["qStart"], r["qEnd"]))
+        ts, te = sorted((r["dbStart"], r["dbEnd"]))
+        if curr is None:
+            curr = dict(r)
+            curr["qStart"], curr["qEnd"] = qs, qe
+            curr["dbStart"], curr["dbEnd"] = ts, te
+        diag = qs - ts
+        next_diag = None
+        next_q_rev = next_t_rev = True
+        if idx + 1 < len(results):
+            nr = results[idx + 1]
+            next_diag = (min(nr["qStart"], nr["qEnd"])
+                         - min(nr["dbStart"], nr["dbEnd"]))
+            next_q_rev = nr["qStart"] > nr["qEnd"]
+            next_t_rev = nr["dbStart"] > nr["dbEnd"]
+        q_overlap = qs <= curr["qEnd"] <= qe
+        t_overlap = ts <= curr["dbEnd"] <= te
+        if ((diag == next_diag or diag == prev_diag)
+                and q_overlap and t_overlap):
+            curr["qStart"] = min(curr["qStart"], qs)
+            curr["qEnd"] = max(curr["qEnd"], qe)
+            curr["dbStart"] = min(curr["dbStart"], ts)
+            curr["dbEnd"] = max(curr["dbEnd"], te)
+        prev_diag = diag
+        different_key = curr["dbKey"] != r["dbKey"]
+        last = idx == len(results) - 1
+        if (different_key or last or next_diag != diag
+                or next_q_rev != q_rev or next_t_rev != t_rev):
+            if q_rev:
+                curr["qStart"], curr["qEnd"] = curr["qEnd"], curr["qStart"]
+            if t_rev:
+                curr["dbStart"], curr["dbEnd"] = \
+                    curr["dbEnd"], curr["dbStart"]
+            out.append(curr)
+            curr = None
+    return out
 
 
 # -- ORF extraction (src/commons/Orf.cpp findForward + extractorfs.cpp) -------
