@@ -173,6 +173,45 @@ def rescore_by_backtrace(res: Rec, q_num, t_num, submat, comp_bias,
     return res
 
 
+def _filter_bc(par, submat, creader, cdb, records):
+    """--expand-filter-clusters (expandaln.cpp:276-315): diversity-filter
+    each B cluster's member alignments against the cluster representative
+    (first record with seqId==1 and qcov==1) before expansion; the first
+    record is always kept."""
+    from ..profile import filter as msafilter
+    from ..profile import msa as msamod
+
+    if not records:
+        return records
+    rep_num = None
+    sub_set = []
+    sub_records = []
+    for r in records:
+        if not r.backtrace:
+            log.die("Alignment must contain a backtrace")
+        if rep_num is None and r.seq_id == 1.0 and \
+                autil.compute_cov(r.q_start, r.q_end, r.q_len) == 1.0:
+            rep_num = cdb.seq_num(creader.get_id(r.db_key))
+        else:
+            sub_set.append(cdb.seq_num(creader.get_id(r.db_key)))
+            sub_records.append(r)
+    if rep_num is None:
+        log.warning("Could not find representative sequence for filtering")
+        return records
+    head, rest = records[0], records[1:]
+    msa = msamod.compute_msa_nodel(rep_num, sub_set, rest)
+    qid = int(float(par.qid.split(",")[0]) * 100)
+    kept_idx, _ = msafilter.filter_msa(
+        msa, submat.sub_matrix, int(par.cov_msa_thr * 100), qid,
+        par.qsc, int(par.filter_max_seq_id * 100), par.n_diff,
+        par.filter_min_enable)
+    kept = (kept_idx if getattr(kept_idx, "dtype", None) == bool
+            else np.isin(np.arange(msa.shape[0]), kept_idx))
+    out = [head]
+    out.extend(r for row, r in enumerate(rest, start=1) if kept[row])
+    return out
+
+
 def _expand(par, command, return_aln: bool):
     a_path, c_path, res_ab_path, res_bc_path, out_path = par.filenames[:5]
     submat = get_sub_mat(par, score_bias=par.score_bias)
@@ -230,7 +269,11 @@ def _expand(par, command, return_aln: bool):
             if b_res_id < 0:
                 log.warning(f"Missing alignments for sequence {ab.db_key}")
                 continue
-            for bc in parse_records(res_bc.get_data(b_res_id)):
+            bc_records = parse_records(res_bc.get_data(b_res_id))
+            if par.expand_filter_clusters:
+                bc_records = _filter_bc(par, submat, creader, cdb,
+                                        list(bc_records))
+            for bc in bc_records:
                 if not bc.backtrace:
                     log.die("Alignment must contain a backtrace")
                 ac = translate_result(ab, bc)

@@ -475,6 +475,20 @@ def test_expandaln_parity(tmp_path, mode, gold):
     assert got == want
 
 
+def test_expandaln_filter_clusters(tmp_path):
+    """--expand-filter-clusters: diversity-filter each B cluster against
+    its representative before expansion (expandaln.cpp:276-315); golden
+    differs from the unfiltered expansion."""
+    out = str(tmp_path / "exp")
+    run_cmd("expandaln", [str(GOLDEN / "qdb"), str(GOLDEN / "qdb"),
+                          str(GOLDEN / "aln"), str(GOLDEN / "aln"), out,
+                          "--expand-filter-clusters", "1"])
+    got = entries_by_key(out)
+    G2 = GOLDEN.parent / "efc"
+    want = entries_by_key(str(G2 / "refefc"))
+    assert got == want
+
+
 def test_expand2profile_parity(tmp_path):
     out = str(tmp_path / "exprof")
     run_cmd("expand2profile", [str(GOLDEN / "qdb"), str(GOLDEN / "qdb"),
