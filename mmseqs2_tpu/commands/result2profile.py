@@ -97,7 +97,14 @@ def result2profile(par, command):
                       par.comp_bias_corr, par.comp_bias_corr_scale)
 
     qid = int(float(par.qid.split(",")[0]) * 100)
-    writer = DBWriter(out_path, dbt.DBTYPE_HMM_PROFILE)
+    # --profile-output-mode 1: plain text profile probabilities, flat file
+    # (result2profile.cpp:106-110,266-271,293-296)
+    write_plain = par.profile_output_mode == 1
+    if write_plain:
+        plain_out = open(out_path, "w")
+        writer = None
+    else:
+        writer = DBWriter(out_path, dbt.DBTYPE_HMM_PROFILE)
     query_is_profile = qreader.base_type == dbt.DBTYPE_HMM_PROFILE
     for i in range(res.size):
         query_key = res.get_db_key(i)
@@ -128,11 +135,33 @@ def result2profile(par, command):
             pssm = global_bias_correct(pssm, submat)
         if par.mask_profile:
             pssm = mask_profile(pssm, q_num, submat)
-        payload = pssmmod.profile_to_buffer(
-            pssm, q_num, out["consensus"], out["neff"], submat.aa2num)
-        writer.write(query_key, payload)
-    writer.close()
+        if write_plain:
+            plain_out.write(f"Query profile of sequence {query_key}\n")
+            plain_out.write(_profile_to_string(out["profile"], submat))
+        else:
+            payload = pssmmod.profile_to_buffer(
+                pssm, q_num, out["consensus"], out["neff"], submat.aa2num)
+            writer.write(query_key, payload)
+    if write_plain:
+        plain_out.close()
+    else:
+        writer.close()
     return 0
+
+
+def _profile_to_string(profile: np.ndarray, submat) -> str:
+    """PSSMCalculator::profileToString (PSSMCalculator.cpp:242-257)."""
+    buf = [" " * 5]
+    for aa in range(20):
+        buf.append(submat.alphabet[aa])
+        buf.append(" " * 6)
+    buf.append("\n")
+    for row in profile:
+        for aa in range(20):
+            buf.append(f"{row[aa]:.4f} ")
+        buf.append("\n")
+    buf.append("\n")
+    return "".join(buf)
 
 
 def global_bias_correct(pssm: np.ndarray, submat) -> np.ndarray:
