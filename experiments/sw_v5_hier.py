@@ -219,6 +219,8 @@ def bench(mode, iters=20):
 
 if __name__ == "__main__":
     # reference scores from the production kernel
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from mmseqs2_tpu.ops.pallas_sw import sw_pallas
     rng = np.random.default_rng(0)
     prof = rng.integers(-4, 11, size=(LQ, ALPHA)).astype(np.float32)

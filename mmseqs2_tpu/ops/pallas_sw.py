@@ -75,6 +75,7 @@ def _kernel(profile_ref, tpk_ref, *refs, lq, lt, n_tiles, go, ge, unroll,
         score_ref = refs[0]
         scratch = refs[1:]
     h_ref, e_ref, hm_ref, stile_ref, best_ref, bq_ref, bt_ref = scratch
+    cell_ref = hm_ref      # packed-tracking reuses the hm scratch tile
 
     sub = jax.lax.broadcasted_iota(jnp.int32, (lq, bt), 0)
     subf = sub.astype(jnp.float32)
@@ -88,6 +89,8 @@ def _kernel(profile_ref, tpk_ref, *refs, lq, lt, n_tiles, go, ge, unroll,
     capf = jnp.float32(cap)
     PK = jnp.float32(_pk_for(lq))
     subpart = PK - jnp.float32(1.0) - subf
+    PKT = jnp.float32(_pk_for(lt))
+    pktm1 = jnp.float32(_pk_for(lt) - 1)
     if gapless:
         ramp = jnp.zeros_like(subf)
         h_ref[:] = jnp.zeros_like(h_ref)
@@ -98,7 +101,7 @@ def _kernel(profile_ref, tpk_ref, *refs, lq, lt, n_tiles, go, ge, unroll,
         h_ref[:] = ramp
         e_ref[:] = ramp + jnp.float32(NEG)
     hm_ref[:] = jnp.zeros_like(hm_ref)
-    if track:
+    if track and not pack:
         best_ref[:] = jnp.zeros_like(best_ref)
         bq_ref[:] = jnp.full_like(bq_ref, lq - 1)
         bt_ref[:] = jnp.full_like(bt_ref, -1)
@@ -124,17 +127,17 @@ def _kernel(profile_ref, tpk_ref, *refs, lq, lt, n_tiles, go, ge, unroll,
             h_ref[:] = hnew
             e_ref[:] = e
             htrue = hnew - ramp
-        if track:
-            if pack:
-                cand = htrue * PK + subpart
-                candmax = jnp.max(cand, axis=0, keepdims=True)
-                colmax = jnp.floor(candmax / PK)
-                amax = (PK - jnp.float32(1.0)
-                        - (candmax - colmax * PK)).astype(jnp.int32)
-            else:
-                colmax = jnp.max(htrue, axis=0, keepdims=True)
-                amax = jnp.min(jnp.where(htrue == colmax, sub, lq),
-                               axis=0, keepdims=True)
+        if track and pack:
+            # deferred tracking: per-cell running max of packed
+            # (score, earliest column); ONE cross-sublane reduce at the
+            # end instead of one per column (+30% measured,
+            # experiments/sw_v7_deferred.py)
+            cand = htrue * PKT + (pktm1 - jnp.float32(j))
+            cell_ref[:] = jnp.maximum(cell_ref[:], cand)
+        elif track:
+            colmax = jnp.max(htrue, axis=0, keepdims=True)
+            amax = jnp.min(jnp.where(htrue == colmax, sub, lq),
+                           axis=0, keepdims=True)
             better = colmax > best_ref[:]
             bt_ref[:] = jnp.where(better, j, bt_ref[:])
             bq_ref[:] = jnp.where(better, amax, bq_ref[:])
@@ -164,7 +167,21 @@ def _kernel(profile_ref, tpk_ref, *refs, lq, lt, n_tiles, go, ge, unroll,
         for u in range(tail):               # padded tail columns skipped
             column(n_full * unroll + u, stile_ref[:, pl.ds(u * bt, bt)])
 
-    if track:
+    if track and pack:
+        cell = cell_ref[:]
+        pm = jnp.max(cell, axis=0, keepdims=True)
+        score = jnp.floor(pm / PKT)
+        tend = (pktm1 - (pm - score * PKT)).astype(jnp.int32)
+        qend = jnp.min(jnp.where(cell == pm, sub, lq), axis=0,
+                       keepdims=True)
+        pos = score > 0.0          # all-zero rows report (-1, lq-1)
+        score_ref[:] = jnp.broadcast_to(score,
+                                        score_ref.shape).astype(jnp.int32)
+        qend_ref[:] = jnp.broadcast_to(jnp.where(pos, qend, lq - 1),
+                                       qend_ref.shape)
+        tend_ref[:] = jnp.broadcast_to(jnp.where(pos, tend, -1),
+                                       tend_ref.shape)
+    elif track:
         score_ref[:] = jnp.broadcast_to(best_ref[:],
                                         score_ref.shape).astype(jnp.int32)
         qend_ref[:] = jnp.broadcast_to(bq_ref[:], qend_ref.shape)
@@ -242,11 +259,12 @@ def sw_pallas(profile, targets_t, go=11, ge=1, gapless=False, cap=255,
     dp.gapless_scan semantics.
     """
     lq = np.asarray(profile).shape[1]
+    lt = np.asarray(targets_t).shape[0]
     if gapless:
         bound = cap
     else:
         bound = int(np.asarray(profile).max()) * lq
-    pack = 0 <= bound < (1 << 24) // _pk_for(lq) - 1
+    pack = 0 <= bound < (1 << 24) // _pk_for(lt) - 1
     prof_t, tpk, lt, b, eff_bt = _prep(profile, targets_t, ge, gapless,
                                        DEFAULT_BT, DEFAULT_U)
     s, qe, te = _sw_call(prof_t, tpk, go=go, ge=ge, gapless=gapless,
