@@ -18,18 +18,21 @@ import time
 import numpy as np
 
 
-def bench_async(fn, args, cells, iters=20, warmup=2):
+def bench_async(fn, args, cells, iters=30, warmup=2, trials=3):
     for _ in range(warmup):
         np.asarray(fn(*args)[0] if isinstance(fn(*args), (tuple, list))
                    else fn(*args))
-    t0 = time.perf_counter()
-    r = None
-    for _ in range(iters):
-        r = fn(*args)
-    r = r[0] if isinstance(r, (tuple, list)) else r
-    np.asarray(r)
-    dt = time.perf_counter() - t0
-    return cells * iters / dt / 1e9
+    best = 0.0
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(iters):
+            r = fn(*args)
+        r = r[0] if isinstance(r, (tuple, list)) else r
+        np.asarray(r)
+        dt = time.perf_counter() - t0
+        best = max(best, cells * iters / dt / 1e9)
+    return best
 
 
 
@@ -92,6 +95,8 @@ def main():
 
     rng = np.random.default_rng(0)
     alpha, lq, lt, batch = 32, 512, 512, 4096
+    if jax.default_backend() != "cpu":
+        batch = 16384        # amortize the ~25ms tunnel dispatch overhead
     profile = rng.integers(-4, 11, size=(alpha, lq)).astype(np.int32)
     targets_t = rng.integers(0, 20, size=(lt, batch)).astype(np.int32)
     cells = batch * lq * lt
@@ -101,7 +106,8 @@ def main():
         qidx = jnp.zeros(batch, jnp.int32)
         fn = jax.jit(lambda p, t: dp.sw_scan(p[None], qidx, t.T, 11, 1))
         gcups = bench_async(fn, (jnp.asarray(profile),
-                                 jnp.asarray(targets_t)), cells, iters=2)
+                                 jnp.asarray(targets_t)), cells, iters=2,
+                            trials=1)
         gapless = 0.0
     else:
         from mmseqs2_tpu.ops.pallas_sw import (gapless_pallas_score,
