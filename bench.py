@@ -19,6 +19,9 @@ import numpy as np
 
 
 def bench_async(fn, args, cells, iters=30, warmup=2, trials=3):
+    """Best-of-`trials` GCUPS (each trial = `iters` async dispatches, one
+    sync). NOTE: best-of-N methodology since round 2 — numbers before
+    BENCH_r02.json were single-run and read slightly lower under load."""
     for _ in range(warmup):
         np.asarray(fn(*args)[0] if isinstance(fn(*args), (tuple, list))
                    else fn(*args))

@@ -28,6 +28,29 @@ def print_usage():
     print("\n".join(out))
 
 
+def _enable_jax_compile_cache():
+    """Persistent XLA compilation cache across processes.
+
+    Every workflow step is its own process (CommandCaller semantics), and
+    each jitted program costs tens of seconds to compile through the TPU
+    runtime — without a disk cache a pipeline recompiles the same kernels
+    at every stage. Set MMSEQS2_TPU_JAX_CACHE=off to disable."""
+    import os
+    loc = os.environ.get("MMSEQS2_TPU_JAX_CACHE",
+                         os.path.expanduser("~/.cache/mmseqs2_tpu/jax"))
+    if loc == "off":
+        return
+    try:
+        import jax
+        os.makedirs(loc, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", loc)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as e:        # cache is an optimization, never fatal
+        log.warning(f"compilation cache disabled: {e}")
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help", "help"):
@@ -44,6 +67,7 @@ def main(argv=None):
         print(f"Usage: mmseqs2-tpu {cmd.usage}\n\n{cmd.description}")
         return 0
     timer = log.Timer()
+    _enable_jax_compile_cache()
     # join the multi-host cluster before any command touches devices
     # (no-op unless MMSEQS_COORDINATOR is set; parallel/multihost.py)
     from .parallel.multihost import init_multihost

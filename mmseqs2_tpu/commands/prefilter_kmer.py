@@ -102,27 +102,33 @@ def build_profile_target_index(treader, seed, kmer_size: int,
         ss, si = kmer_rows(p)
         gen = ProfileKmerGenerator(kmer_size, alpha, ss, si, offsets_pat)
         n = p.length - span + 1
-        pairs = []
-        for i in range(max(n, 0)):
-            window = q_num[i + offsets_pat]
-            if (window == x_idx).any():
-                continue
-            similar = gen.generate(window, kmer_thr, i)
-            for km in similar:
-                pairs.append((int(km), i))
-        if not pairs:
+        if n <= 0:
             continue
-        pairs.sort()
-        prev = None
-        for km, pos in pairs:
-            if km != prev:
-                all_kmer.append(km)
-                all_seq.append(sid)
-                all_pos.append(pos)
-            prev = km
-    kmers = np.array(all_kmer, np.int64) if all_kmer else np.zeros(0, np.int64)
-    seqs_a = np.array(all_seq, np.int64) if all_seq else np.zeros(0, np.int64)
-    poss = np.array(all_pos, np.int64) if all_pos else np.zeros(0, np.int64)
+        pos = np.arange(n, dtype=np.int64)
+        wins = q_num[pos[:, None] + offsets_pat[None, :]]
+        ok = ~(wins == x_idx).any(axis=1)
+        pos, wins = pos[ok], wins[ok]
+        if len(pos) == 0:
+            continue
+        codes, win_of = gen.generate_all(
+            wins, np.full(len(pos), kmer_thr, np.int64), pos)
+        if len(codes) == 0:
+            continue
+        kpos = pos[win_of]
+        # unique k-mer per profile, first (smallest) position wins
+        order = np.lexsort((kpos, codes))
+        codes, kpos = codes[order], kpos[order]
+        first = np.ones(len(codes), dtype=bool)
+        first[1:] = codes[1:] != codes[:-1]
+        all_kmer.append(codes[first])
+        all_seq.append(np.full(int(first.sum()), sid, np.int64))
+        all_pos.append(kpos[first])
+    kmers = (np.concatenate(all_kmer) if all_kmer
+             else np.zeros(0, np.int64))
+    seqs_a = (np.concatenate(all_seq) if all_seq
+              else np.zeros(0, np.int64))
+    poss = (np.concatenate(all_pos) if all_pos
+            else np.zeros(0, np.int64))
     order = np.argsort(kmers, kind="stable")
     kmers, seqs_a, poss = kmers[order], seqs_a[order], poss[order]
     table.sparse = table.table_size > (1 << 26)
@@ -275,11 +281,32 @@ def prefilter_kmer(par, command):
             query_is_profile, same_db, out_path, alpha, n_splits)
     if device_ok:
         from ..prefilter.device import DevicePrefilter
-        dev = DevicePrefilter(
-            table, seed, ungapped, kmer_thr, kmer_size, par.max_seqs,
-            par.comp_bias_corr, par.comp_bias_corr_scale,
-            par.min_ungapped_score, generator,
-            take_only_best_kmer=take_only_best, host_fallback=matcher)
+        import jax
+        n_dev = jax.device_count()
+        shard_env = os.environ.get("MMSEQS2_TPU_SHARD", "auto")
+        use_shard = (n_dev > 1 if shard_env == "auto"
+                     else shard_env not in ("0", "off", "host"))
+        if use_shard and n_dev > 1:
+            # target-sharded multi-chip engine: each device owns a target
+            # shard + its CSR index; collectives merge (byte-identical to
+            # the 1-device run — parallel/sharded_prefilter.py)
+            from jax.sharding import Mesh
+            from ..parallel.sharded_prefilter import ShardedPrefilter
+            log.info(f"Sharding target DB over {n_dev} devices")
+            dev = ShardedPrefilter(
+                table.masked_seqs, seed, ungapped, kmer_thr, kmer_size,
+                par.max_seqs, Mesh(np.array(jax.devices()), ("t",)),
+                par.comp_bias_corr, par.comp_bias_corr_scale,
+                par.min_ungapped_score, generator,
+                take_only_best_kmer=take_only_best, host_fallback=matcher,
+                spaced=spaced, index_kmer_thr=index_thr,
+                pattern=par.spaced_kmer_pattern, full_table=table)
+        else:
+            dev = DevicePrefilter(
+                table, seed, ungapped, kmer_thr, kmer_size, par.max_seqs,
+                par.comp_bias_corr, par.comp_bias_corr_scale,
+                par.min_ungapped_score, generator,
+                take_only_best_kmer=take_only_best, host_fallback=matcher)
         return _run_device(par, qreader, treader, qdb, dev, matcher,
                            query_is_profile, same_db, out_path, alpha)
 

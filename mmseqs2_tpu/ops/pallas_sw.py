@@ -87,8 +87,6 @@ def _kernel(profile_ref, tpk_ref, *refs, lq, lt, n_tiles, go, ge, unroll,
     ge_f = jnp.float32(ge)
     goge = jnp.float32(go - ge)
     capf = jnp.float32(cap)
-    PK = jnp.float32(_pk_for(lq))
-    subpart = PK - jnp.float32(1.0) - subf
     PKT = jnp.float32(_pk_for(lt))
     pktm1 = jnp.float32(_pk_for(lt) - 1)
     if gapless:
@@ -110,7 +108,15 @@ def _kernel(profile_ref, tpk_ref, *refs, lq, lt, n_tiles, go, ge, unroll,
         """One DP column; s is the (Lq, BT) substitution slice."""
         if gapless:
             h = _shift_sub(h_ref[:], jnp.float32(0)) + s
-            h = jnp.minimum(jnp.maximum(h, 0.0), capf)
+            if track:
+                # end positions follow the reference's saturating u8 walk
+                # (first column to reach the cap), so cap per step
+                h = jnp.minimum(jnp.maximum(h, 0.0), capf)
+            else:
+                # score-only: max(min(cap, h_sat)) == min(cap, max(h_raw))
+                # -- saturation commutes with the final max, so the
+                # per-cell min() moves to the output reduce (-1 op/cell)
+                h = jnp.maximum(h, 0.0)
             h_ref[:] = h
             htrue = h
         else:
@@ -187,9 +193,11 @@ def _kernel(profile_ref, tpk_ref, *refs, lq, lt, n_tiles, go, ge, unroll,
         qend_ref[:] = jnp.broadcast_to(bq_ref[:], qend_ref.shape)
         tend_ref[:] = jnp.broadcast_to(bt_ref[:], tend_ref.shape)
     else:
-        score_ref[:] = jnp.broadcast_to(
-            jnp.max(hm_ref[:], axis=0, keepdims=True),
-            score_ref.shape).astype(jnp.int32)
+        hm = jnp.max(hm_ref[:], axis=0, keepdims=True)
+        if gapless:
+            hm = jnp.minimum(hm, capf)       # deferred saturation cap
+        score_ref[:] = jnp.broadcast_to(hm,
+                                        score_ref.shape).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=(

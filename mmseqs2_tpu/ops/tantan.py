@@ -63,6 +63,8 @@ def repeat_probs(seqs: np.ndarray, lens: np.ndarray, lr: np.ndarray,
     def lr_row(t):
         # emission likelihood ratios at position t vs letters t-1-i
         cur = seqs[:, t]
+        if t >= max_offset:           # no boundary mask needed
+            return lr[cur[:, None], seqs[:, t - 1 - offs]]
         back_idx = t - 1 - offs
         valid = back_idx >= 0
         back = seqs[:, np.maximum(back_idx, 0)]
@@ -119,7 +121,9 @@ def mask_batch(seq_list, lr: np.ndarray, x_index: int,
     order = np.argsort([len(s) for s in seq_list], kind="stable")
     out = [None] * len(seq_list)
     total = 0
-    B = 256
+    # big batches: the t-loop in repeat_probs runs L_max times per batch,
+    # so fewer/wider batches cut Python-loop iterations ~linearly
+    B = 2048
     for lo in range(0, len(order), B):
         idxs = order[lo: lo + B]
         lens = np.array([len(seq_list[i]) for i in idxs])

@@ -57,7 +57,8 @@ def make_sharded_prefilter_step(mesh: Mesh, *, h_cap, n_q, lq_max, ln_max,
             h_cap=h_cap, c_cap=c_cap)
         rescore = make_rescore(t_cat, t_offsets, t_lens, prof, q_lens,
                                lq_max=lq_max, ln_max=ln_max, chunk=chunk)
-        cscore = rescore(cqid, cidl, cdiag, cvalid, cap=True)
+        cscore = rescore(cqid, cidl, cdiag, cvalid, cap=True,
+                         n_valid=n_cand)
         is_best = stage_keepmax(cqid, cidl, cscore, cvalid, c_cap=c_cap)
         hist = stage_hist(cqid, cscore, is_best, n_q=n_q, c_cap=c_cap)
         hist = jax.lax.psum(hist, "t")
@@ -70,7 +71,8 @@ def make_sharded_prefilter_step(mesh: Mesh, *, h_cap, n_q, lq_max, ln_max,
             rank_cap=max_hits)
         sat = kvalid & (kscore >= UCHAR_MAX)
         exact = rescore(kqid, jnp.where(sat, kidg - base, 0), kdiag, sat,
-                        cap=False)
+                        cap=False,
+                        n_valid=jnp.sum(kvalid.astype(jnp.int32)))
         kfinal = jnp.where(sat, exact, kscore)
 
         # merge across target shards
@@ -135,7 +137,8 @@ class ShardedPrefilter:
                  max_hits, mesh, aa_bias_corr=True, bias_scale=1.0,
                  min_diag_score_thr=15, generator=None,
                  take_only_best_kmer=False, host_fallback=None,
-                 spaced=True, index_kmer_thr=None):
+                 spaced=True, index_kmer_thr=None, pattern="",
+                 full_table=None):
         from ..prefilter.device import DevicePrefilter
 
         self.mesh = mesh
@@ -157,19 +160,24 @@ class ShardedPrefilter:
         seqs_per = []
         for t in range(self.n_t):
             chunk_seqs = masked_seqs[bounds[t]:bounds[t + 1]]
-            tbl = KmerIndexTable(alpha, kmer_size, spaced)
+            tbl = KmerIndexTable(alpha, kmer_size, spaced, pattern)
             tbl.build(chunk_seqs, x_idx, index_kmer_thr, self_score)
             self.tables.append(tbl)
             seqs_per.append(chunk_seqs)
 
         # the unsharded device matcher supplies the host-side stage-0
         # machinery (triples + profiles); its own index is the full table
-        full = KmerIndexTable(alpha, kmer_size, spaced)
-        full.build(masked_seqs, x_idx, index_kmer_thr, self_score)
+        # (reused if the caller already built one)
+        if full_table is None:
+            full_table = KmerIndexTable(alpha, kmer_size, spaced, pattern)
+            full_table.build(masked_seqs, x_idx, index_kmer_thr,
+                             self_score)
         self.dev = DevicePrefilter(
-            full, seed, ungapped, kmer_thr, kmer_size, max_hits,
+            full_table, seed, ungapped, kmer_thr, kmer_size, max_hits,
             aa_bias_corr, bias_scale, min_diag_score_thr, generator,
-            take_only_best_kmer, host_fallback)
+            take_only_best_kmer, host_fallback, device_upload=False)
+        self.k = kmer_size
+        self.index = full_table
 
         # padded per-shard device arrays
         e_max = bucket(max(max(len(t.entries_seq) for t in self.tables), 1),
@@ -226,10 +234,18 @@ class ShardedPrefilter:
                 prof = (self.dev.ungapped.sub_matrix[q_num, :].astype(
                     np.int32) + corr[:, None])
             codes, qpos = self.dev.query_triples(q_num, comp_bias, gen)
+            per_s, per_c = [], []
+            tot = np.zeros(len(codes), np.int64)
             for t in range(self.n_t):
                 s, c = self.tables[t].lists(codes)
-                starts_l[t].append(s.astype(np.int32))
-                counts_l[t].append(c.astype(np.int32))
+                per_s.append(s)
+                per_c.append(c)
+                tot += c
+            nz = tot > 0          # drop k-mers absent from every shard
+            for t in range(self.n_t):
+                starts_l[t].append(per_s[t][nz].astype(np.int32))
+                counts_l[t].append(per_c[t][nz].astype(np.int32))
+            qpos = qpos[nz]
             qpos_l.append(qpos)
             qid_l.append(np.full(len(qpos), b, np.int32))
             profs.append(prof)

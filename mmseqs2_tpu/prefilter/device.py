@@ -63,7 +63,7 @@ def _device_match(starts, counts, qpos, qid,          # (K,) triples
         h_cap=h_cap, c_cap=c_cap)
     rescore = make_rescore(t_cat, t_offsets, t_lens, prof, q_lens,
                            lq_max=lq_max, ln_max=ln_max, chunk=chunk)
-    cscore = rescore(cqid, cid, cdiag, cvalid, cap=True)
+    cscore = rescore(cqid, cid, cdiag, cvalid, cap=True, n_valid=n_cand)
     is_best = stage_keepmax(cqid, cid, cscore, cvalid, c_cap=c_cap)
     hist = stage_hist(cqid, cscore, is_best, n_q=n_q, c_cap=c_cap)
     thr, truncated = threshold_from_hist(hist, max_hits, min_diag_thr)
@@ -74,7 +74,7 @@ def _device_match(starts, counts, qpos, qid,          # (K,) triples
 
     # exact (uncapped) scores for saturated kept hits (getResult :430-436)
     sat = kvalid & (kscore >= UCHAR_MAX)
-    exact = rescore(kqid, kid, kdiag, sat, cap=False)
+    exact = rescore(kqid, kid, kdiag, sat, cap=False, n_valid=n_keep)
     final_score = jnp.where(sat, exact, kscore)
 
     oq, _, oid, odiag, ofs, oval = stage_finalize(
@@ -98,7 +98,7 @@ def _device_candidates(starts, counts, qpos, qid,
         h_cap=h_cap, c_cap=c_cap)
     rescore = make_rescore(t_cat, t_offsets, t_lens, prof, q_lens,
                            lq_max=lq_max, ln_max=ln_max, chunk=chunk)
-    cscore = rescore(cqid, cid, cdiag, cvalid, cap=True)
+    cscore = rescore(cqid, cid, cdiag, cvalid, cap=True, n_valid=n_cand)
     is_best = stage_keepmax(cqid, cid, cscore, cvalid, c_cap=c_cap)
     pos = jnp.cumsum(is_best.astype(jnp.int32)) - 1
     n_best = jnp.sum(is_best.astype(jnp.int32))
@@ -137,7 +137,8 @@ class DevicePrefilter:
     def __init__(self, index_table, seed, ungapped, kmer_thr, kmer_size,
                  max_hits, aa_bias_corr=True, bias_scale=1.0,
                  min_diag_score_thr=15, generator=None,
-                 take_only_best_kmer=False, host_fallback=None):
+                 take_only_best_kmer=False, host_fallback=None,
+                 device_upload=True):
         self.index = index_table
         self.seed = seed
         self.ungapped = ungapped
@@ -154,6 +155,12 @@ class DevicePrefilter:
 
         seqs = index_table.masked_seqs
         t_lens = np.array([len(s) for s in seqs] or [0], dtype=np.int32)
+        self.n_targets = len(seqs)
+        self.max_t_len = int(t_lens.max()) if len(seqs) else 1
+        if not device_upload:
+            # stage-0-only role (e.g. ShardedPrefilter holds the per-shard
+            # device arrays itself; the full index stays host-side)
+            return
         t_offsets = np.concatenate([[0], np.cumsum(t_lens)]).astype(np.int32)
         t_cat = (np.concatenate(seqs) if len(seqs) else
                  np.zeros(0, np.uint8)).astype(np.int32)
@@ -165,37 +172,36 @@ class DevicePrefilter:
         self.d_t_offsets = jnp.asarray(t_offsets[:-1] if len(seqs)
                                        else np.zeros(1, np.int32))
         self.d_t_lens = jnp.asarray(t_lens)
-        self.n_targets = len(seqs)
-        self.max_t_len = int(t_lens.max()) if len(seqs) else 1
 
     # -- host-side stage 0: windows -> similar k-mer triples ---------------
     def query_triples(self, q_num, comp_bias, generator=None):
-        """(kmer codes, qpos) for one query, reference enumeration order."""
+        """(kmer codes, qpos) for one query, reference enumeration order.
+
+        Whole-query vectorized similar-k-mer generation (the reference's
+        per-window KmerGenerator::generateKmerList loop, QueryMatcher.cpp
+        :255-284, batched as flat numpy segment ops — see
+        kmer_generator._expand_batch)."""
         idx_all, pos_all, has_x = extract_kmers(
             q_num, self.index.offsets_pat, self.index.span,
             self.index.alpha, self.x_index)
-        gen = generator if generator is not None else self.generator
-        codes_chunks, pos_chunks = [], []
-        for w in range(len(pos_all)):
-            if has_x[w]:
-                continue
-            i = int(pos_all[w])
-            bias_f = comp_bias[i + self.index.offsets_pat].sum()
-            bias = int(np.trunc(bias_f - 0.5 if bias_f < 0.0
-                                else bias_f + 0.5))
-            thr = max(self.kmer_thr - bias, 0)
-            if self.take_only_best:
-                similar = np.array([idx_all[w]], dtype=np.int64)
-            else:
-                window = q_num[i + self.index.offsets_pat].astype(np.int64)
-                similar = gen.generate(window, thr, i)
-            if len(similar) == 0:
-                continue
-            codes_chunks.append(similar)
-            pos_chunks.append(np.full(len(similar), i, np.int32))
-        if not codes_chunks:
+        keep = ~has_x
+        pos = pos_all[keep]
+        if len(pos) == 0:
             return np.zeros(0, np.int64), np.zeros(0, np.int32)
-        return np.concatenate(codes_chunks), np.concatenate(pos_chunks)
+        if self.take_only_best:
+            return idx_all[keep], pos.astype(np.int32)
+        gen = generator if generator is not None else self.generator
+        # per-window composition-bias threshold adjustment
+        # (QueryMatcher.cpp:260-271 rounding)
+        bias_f = comp_bias[pos[:, None] + self.index.offsets_pat[None, :]
+                           ].sum(axis=1)
+        bias = np.trunc(np.where(bias_f < 0.0, bias_f - 0.5,
+                                 bias_f + 0.5)).astype(np.int64)
+        thr = np.maximum(self.kmer_thr - bias, 0)
+        windows = q_num[pos[:, None]
+                        + self.index.offsets_pat[None, :]].astype(np.int64)
+        codes, win_of = gen.generate_all(windows, thr, pos)
+        return codes, pos[win_of].astype(np.int32)
 
     def prepare_query(self, q_num, rescore_profile=None, generator=None):
         """Host stage for one query: returns (starts, counts, qpos, prof)."""
@@ -215,7 +221,12 @@ class DevicePrefilter:
                     + corr[:, None])
         codes, qpos = self.query_triples(q_num, comp_bias, generator)
         s, c = self.index.lists(codes)
-        return s.astype(np.int32), c.astype(np.int32), qpos, prof
+        # drop empty posting lists host-side: most similar k-mers miss the
+        # index entirely (sparse k-mer space), and shipping them to the
+        # device costs transfer + expansion capacity for nothing
+        nz = c > 0
+        return (s[nz].astype(np.int32), c[nz].astype(np.int32), qpos[nz],
+                prof)
 
     def candidates_batch(self, prepared, qlens):
         """Split-mode building block: per-query candidate fragments.
@@ -253,19 +264,18 @@ class DevicePrefilter:
         d_prof = jnp.asarray(prof_pad)
         d_qlens = jnp.asarray(np.array(qlens, np.int32))
 
-        c_cap = max(4096, h_cap // 8)
-        while True:
-            bq, bi, bd, bs, n_best, n_cand = _device_candidates(
-                jnp.asarray(starts), jnp.asarray(counts),
-                jnp.asarray(qpos), jnp.asarray(qid),
-                self.d_entries_seq, self.d_entries_pos,
-                self.d_t_cat, self.d_t_offsets, self.d_t_lens,
-                d_prof, d_qlens,
-                h_cap=h_cap, c_cap=c_cap, n_q=B, lq_max=lq_max,
-                ln_max=ln_max, chunk=min(4096, c_cap))
-            if int(n_cand) <= c_cap or c_cap >= h_cap:
-                break
-            c_cap = _bucket(int(n_cand), c_cap * 2)
+        # c_cap = h_cap: n_cand <= total always holds, so one static shape
+        # per bucket — no grow-retry recompiles (each XLA compile costs
+        # tens of seconds through the runtime tunnel)
+        c_cap = h_cap
+        bq, bi, bd, bs, n_best, n_cand = _device_candidates(
+            jnp.asarray(starts), jnp.asarray(counts),
+            jnp.asarray(qpos), jnp.asarray(qid),
+            self.d_entries_seq, self.d_entries_pos,
+            self.d_t_cat, self.d_t_offsets, self.d_t_lens,
+            d_prof, d_qlens,
+            h_cap=h_cap, c_cap=c_cap, n_q=B, lq_max=lq_max,
+            ln_max=ln_max, chunk=min(4096, c_cap))
         n = int(n_best)
         bq = np.asarray(bq)[:n]
         bi = np.asarray(bi)[:n]
@@ -369,23 +379,19 @@ class DevicePrefilter:
         qid = np.pad(qid, (0, pad), constant_values=B - 1)
         out_sz = _bucket(B * self.max_hits, 256)
 
-        c_cap = max(4096, h_cap // 8)
-        while True:
-            (oq, oid, odiag, ofs, oval, n_cand, n_keep, truncated,
-             tot) = _device_match(
-                jnp.asarray(starts), jnp.asarray(counts), jnp.asarray(qpos),
-                jnp.asarray(qid), self.d_entries_seq, self.d_entries_pos,
-                self.d_t_cat, self.d_t_offsets, self.d_t_lens,
-                jnp.asarray(prof_pad),
-                jnp.asarray(np.array(qlens, np.int32)),
-                jnp.asarray(np.array(identity_ids, np.int32)),
-                h_cap=h_cap, c_cap=c_cap, n_q=B, lq_max=lq_max,
-                ln_max=ln_max, max_hits=self.max_hits,
-                min_diag_thr=self.min_diag_thr,
-                chunk=min(4096, c_cap), out_sz=out_sz)
-            if int(n_cand) <= c_cap or c_cap >= h_cap:
-                break
-            c_cap = _bucket(int(n_cand), c_cap * 2)
+        c_cap = h_cap          # n_cand <= total: single compile per bucket
+        (oq, oid, odiag, ofs, oval, n_cand, n_keep, truncated,
+         tot) = _device_match(
+            jnp.asarray(starts), jnp.asarray(counts), jnp.asarray(qpos),
+            jnp.asarray(qid), self.d_entries_seq, self.d_entries_pos,
+            self.d_t_cat, self.d_t_offsets, self.d_t_lens,
+            jnp.asarray(prof_pad),
+            jnp.asarray(np.array(qlens, np.int32)),
+            jnp.asarray(np.array(identity_ids, np.int32)),
+            h_cap=h_cap, c_cap=c_cap, n_q=B, lq_max=lq_max,
+            ln_max=ln_max, max_hits=self.max_hits,
+            min_diag_thr=self.min_diag_thr,
+            chunk=min(4096, c_cap), out_sz=out_sz)
         oq = np.asarray(oq)
         oid = np.asarray(oid)
         odiag = np.asarray(odiag)

@@ -95,7 +95,9 @@ def make_rescore(t_cat, t_offsets, t_lens, prof, q_lens,
     prof_flat = prof.reshape(-1)
     alpha = prof.shape[2]
 
-    def rescore(qid_c, id_c, diag_c, valid_c, cap):
+    def rescore(qid_c, id_c, diag_c, valid_c, cap, n_valid=None):
+        """n_valid: traced count of front-compacted valid entries; chunks
+        beyond it are skipped (cost scales with real work, not capacity)."""
         qid_s = jnp.where(valid_c, qid_c, 0)
         id_s = jnp.where(valid_c, id_c, 0)
         d = ((diag_c + 0x8000) & 0xFFFF) - 0x8000       # signed i16
@@ -126,7 +128,18 @@ def make_rescore(t_cat, t_offsets, t_lens, prof, q_lens,
         padded = [jnp.pad(x, (0, nchunk * chunk - C))
                   for x in (qid_s, qs, base, n)]
         stacked = [x.reshape(nchunk, chunk) for x in padded]
-        sc = jax.lax.map(score_chunk, tuple(stacked)).reshape(-1)[:C]
+        if n_valid is None:
+            sc = jax.lax.map(score_chunk, tuple(stacked)).reshape(-1)[:C]
+        else:
+            n_act = jnp.minimum((n_valid + chunk - 1) // chunk, nchunk)
+
+            def body(i, out):
+                row = score_chunk(tuple(x[i] for x in stacked))
+                return jax.lax.dynamic_update_index_in_dim(out, row, i, 0)
+
+            sc = jax.lax.fori_loop(
+                0, n_act, body,
+                jnp.zeros((nchunk, chunk), jnp.int32)).reshape(-1)[:C]
         if cap:
             sc = jnp.minimum(sc, UCHAR_MAX)
         return jnp.where(valid_c, jnp.maximum(sc, 0), 0)

@@ -90,36 +90,72 @@ class KmerIndexTable:
         self.masked_seqs = None   # list of masked numeric sequences
 
     def build(self, masked_seqs, x_index: int, kmer_thr: int,
-              self_score: np.ndarray):
+              self_score: np.ndarray, chunk_windows: int = 1 << 22):
         """masked_seqs: list of masked numeric target sequences (local id
-        order). self_score: per-letter diagonal score of the seed matrix."""
-        all_kmer, all_seq, all_pos = [], [], []
-        for sid, seq in enumerate(masked_seqs):
-            idx, pos, has_x = extract_kmers(seq, self.offsets_pat, self.span,
-                                            self.alpha, x_index)
+        order). self_score: per-letter diagonal score of the seed matrix.
+
+        Vectorized across sequences: all windows of a chunk of sequences
+        are extracted/filtered/deduplicated with flat numpy segment ops
+        (the reference's per-sequence IndexBuilder loop, IndexBuilder.cpp,
+        recast for a host that feeds a device-resident index)."""
+        lens = np.array([len(s) for s in masked_seqs], dtype=np.int64)
+        n_seqs = len(masked_seqs)
+        nwin = np.maximum(lens - self.span + 1, 0)
+        chunks_k, chunks_s, chunks_p = [], [], []
+        lo = 0
+        while lo < n_seqs:
+            hi = lo + 1
+            acc = int(nwin[lo])
+            while hi < n_seqs and acc + nwin[hi] <= chunk_windows:
+                acc += int(nwin[hi])
+                hi += 1
+            if acc == 0:
+                lo = hi
+                continue
+            sub = masked_seqs[lo:hi]
+            sub_n = nwin[lo:hi]
+            cat = np.concatenate([s.astype(np.uint8) for s in sub])
+            cat_off = np.concatenate(
+                [[0], np.cumsum(lens[lo:hi])])[:-1]
+            sid = np.repeat(np.arange(hi - lo, dtype=np.int64), sub_n)
+            wfirst = np.concatenate([[0], np.cumsum(sub_n)])[:-1]
+            pos_l = np.arange(acc, dtype=np.int64) - np.repeat(wfirst,
+                                                               sub_n)
+            gpos = cat_off[sid] + pos_l
+            # stream per pattern position (never materialize the (W, k)
+            # window matrix): code, X mask, self-score in k 1-D passes
+            powers = kmer_powers(self.alpha, len(self.offsets_pat))
+            idx = np.zeros(acc, dtype=np.int64)
+            has_x = np.zeros(acc, dtype=bool)
+            win_sc = (np.zeros(acc, dtype=np.int64) if kmer_thr > 0
+                      else None)
+            for i, off in enumerate(self.offsets_pat):
+                letter = cat[gpos + off].astype(np.int64)
+                idx += letter * powers[i]
+                has_x |= letter == x_index
+                if kmer_thr > 0:
+                    win_sc += self_score[letter]
             keep = ~has_x
             if kmer_thr > 0:
-                win_sc = self_score[
-                    seq[np.arange(len(pos))[:, None] + self.offsets_pat]
-                ].sum(axis=1)
                 keep &= win_sc >= kmer_thr
-            idx, pos = idx[keep], pos[keep]
-            if len(idx) == 0:
-                continue
-            # one entry per (kmer): smallest position (reference sorts by
-            # (kmer, pos) and keeps the first)
-            order = np.lexsort((pos, idx))
-            idx, pos = idx[order], pos[order]
+            idx, sid, pos_l = idx[keep], sid[keep], pos_l[keep]
+            # one entry per (seq, kmer): smallest position. Windows are
+            # already ascending-position within each sequence, so a single
+            # STABLE sort on the composite (sid, kmer) key keeps the first
+            # occurrence = smallest position (reference sorts (kmer, pos)
+            # and keeps the first).
+            order = np.argsort(sid * self.table_size + idx, kind="stable")
+            sid, idx, pos_l = sid[order], idx[order], pos_l[order]
             first = np.ones(len(idx), dtype=bool)
-            first[1:] = idx[1:] != idx[:-1]
-            idx, pos = idx[first], pos[first]
-            all_kmer.append(idx)
-            all_seq.append(np.full(len(idx), sid, dtype=np.int64))
-            all_pos.append(pos)
-        if all_kmer:
-            kmers = np.concatenate(all_kmer)
-            seqs = np.concatenate(all_seq)
-            poss = np.concatenate(all_pos)
+            first[1:] = (idx[1:] != idx[:-1]) | (sid[1:] != sid[:-1])
+            chunks_k.append(idx[first])
+            chunks_s.append(sid[first] + lo)
+            chunks_p.append(pos_l[first])
+            lo = hi
+        if chunks_k:
+            kmers = np.concatenate(chunks_k)
+            seqs = np.concatenate(chunks_s)
+            poss = np.concatenate(chunks_p)
         else:
             kmers = seqs = poss = np.zeros(0, dtype=np.int64)
         # CSR: stable sort by kmer preserves seq-id order within lists
