@@ -204,134 +204,181 @@ class Aligner:
         """Align one query against candidate targets; returns AlnResult list
         in input order. Acceptance/early-exit is the caller's job (it depends
         on result order and maxAccept/maxReject)."""
-        qL = len(ctx.q_num)
-        results = [None] * len(target_keys)
-        sw_idx = []
-        for i, ident in enumerate(identity_flags):
-            if ident:
-                res = self.score_identical(ctx, target_seqs[i], mode)
-                res.db_key = target_keys[i]
-                res.db_len = int(target_lens[i])
-                results[i] = res
-            else:
-                sw_idx.append(i)
-        if not sw_idx:
-            return results
+        return self.align_batch(
+            [(ctx, target_keys, target_seqs, target_lens, identity_flags)],
+            mode=mode, cov_mode=cov_mode, cov_thr=cov_thr,
+            eval_thr=eval_thr, seq_id_mode=seq_id_mode)[0]
 
-        # 1. forward: score + end positions
-        scores, qends, tends = self._batch_scan(
-            ctx.profile[None], np.zeros(len(sw_idx), np.int32),
-            [target_seqs[i] for i in sw_idx])
+    def align_batch(self, jobs, mode=SCORE_COV_SEQID, cov_mode=0,
+                    cov_thr=0.0, eval_thr=1e-3,
+                    seq_id_mode=util.SEQ_ID_ALN_LEN):
+        """Align MANY queries in few device calls.
 
-        # 2. gates; collect reverse-pass work
-        rev_profiles, rev_targets, rev_rows = [], [], []
-        for r, i in enumerate(sw_idx):
-            raw = int(scores[r])
-            qe, te = int(qends[r]), int(tends[r])
-            tL = int(target_lens[i])
-            ev = self.evaluer.compute_evalue(raw, qL)
-            res = AlnResult(
-                db_key=target_keys[i],
-                score=int(self.evaluer.compute_bit_score(raw) + 0.5),
-                raw_score=raw, seq_id=0.0, eval=ev,
-                q_start=-1, q_end=qe, q_len=qL,
-                db_start=-1, db_end=te, db_len=tL,
-                aln_length=max(abs(qe + 1), abs(te + 1)))
-            results[i] = res
-            if te == -1 or mode == SCORE_ONLY:
-                if te != -1:
-                    res.seq_id = util.estimate_seq_id_by_score_per_col(
-                        raw, max(qe, 1), max(te, 1))
-                continue
-            res.qcov = float(util.compute_cov(0, qe, qL))
-            res.dbcov = float(util.compute_cov(0, te, tL))
-            low_cov = not util.has_coverage(cov_thr, cov_mode,
-                                            res.qcov, res.dbcov)
-            if ev > eval_thr or low_cov:
-                continue   # ssw_align_private early return (mode 1 and 2)
-            rev = ctx.profile[:, : qe + 1][:, ::-1]
-            pad = bucket_length(qe + 1) - rev.shape[1]
-            if pad:
-                rev = np.pad(rev, ((0, 0), (0, pad)),
-                             constant_values=-(1 << 20))
-            rev_profiles.append(np.ascontiguousarray(rev))
-            rev_targets.append(target_seqs[i][: te + 1][::-1].copy())
-            rev_rows.append(i)
+        jobs: list of (ctx, target_keys, target_seqs, target_lens,
+        identity_flags). All (query, target) pairs across jobs are grouped
+        by (query-length bucket, target-length bucket) so forward and
+        reverse scans run once per shape group instead of once per query —
+        the per-call dispatch latency and per-shape trace cost dominated
+        the align stage wall time at scale. Returns per-job AlnResult
+        lists in input order; semantics identical to align_query."""
+        per_results = []
+        per_sw = []
+        fwd_groups = {}
+        for j, (ctx, keys, seqs, lens, ident) in enumerate(jobs):
+            results = [None] * len(keys)
+            sw_idx = []
+            for i, isid in enumerate(ident):
+                if isid:
+                    res = self.score_identical(ctx, seqs[i], mode)
+                    res.db_key = keys[i]
+                    res.db_len = int(lens[i])
+                    results[i] = res
+                else:
+                    sw_idx.append(i)
+            per_results.append(results)
+            per_sw.append(sw_idx)
+            lqb = ctx.profile.shape[1]
+            for i in sw_idx:
+                g = fwd_groups.setdefault(
+                    (lqb, bucket_length(max(len(seqs[i]), 1))),
+                    {"profs": [], "slot": {}, "qidx": [], "tl": [],
+                     "ref": []})
+                if j not in g["slot"]:
+                    g["slot"][j] = len(g["profs"])
+                    g["profs"].append(ctx.profile)
+                g["qidx"].append(g["slot"][j])
+                g["tl"].append(seqs[i])
+                g["ref"].append((j, i))
 
-        # 3. reverse pass -> start positions, real coverage
-        if rev_rows:
-            max_lq = max(p.shape[1] for p in rev_profiles)
-            rp = np.stack([
-                np.pad(p, ((0, 0), (0, max_lq - p.shape[1])),
-                       constant_values=-(1 << 20)) for p in rev_profiles])
-            rs, rqe, rte = self._batch_scan(
-                rp, np.arange(len(rev_rows), dtype=np.int32), rev_targets)
-            for k, i in enumerate(rev_rows):
-                res = results[i]
-                if int(rs[k]) != res.raw_score:
-                    raise RuntimeError(
-                        f"forward/reverse SW score mismatch {int(rs[k])} != "
-                        f"{res.raw_score} (target {res.db_key})")
-                res.q_start = res.q_end - int(rqe[k])
-                res.db_start = res.db_end - int(rte[k])
-                res.qcov = float(util.compute_cov(res.q_start, res.q_end, qL))
-                res.dbcov = float(util.compute_cov(res.db_start, res.db_end,
-                                                   res.db_len))
-                res.aln_length = max(abs(res.q_end - res.q_start),
-                                     abs(res.db_end - res.db_start)) + 1
+        # 1. forward: score + end positions, one scan per shape group
+        fwd = {}
+        for g in fwd_groups.values():
+            s, qe, te = self._batch_scan(
+                np.stack(g["profs"]), np.array(g["qidx"], np.int32),
+                g["tl"])
+            for k, ref in enumerate(g["ref"]):
+                fwd[ref] = (int(s[k]), int(qe[k]), int(te[k]))
+
+        # 2. gates; collect reverse-pass work across all jobs
+        rev_profiles, rev_targets, rev_ref = [], [], []
+        for j, (ctx, keys, seqs, lens, ident) in enumerate(jobs):
+            qL = len(ctx.q_num)
+            for i in per_sw[j]:
+                raw, qe, te = fwd[(j, i)]
+                tL = int(lens[i])
+                ev = self.evaluer.compute_evalue(raw, qL)
+                res = AlnResult(
+                    db_key=keys[i],
+                    score=int(self.evaluer.compute_bit_score(raw) + 0.5),
+                    raw_score=raw, seq_id=0.0, eval=ev,
+                    q_start=-1, q_end=qe, q_len=qL,
+                    db_start=-1, db_end=te, db_len=tL,
+                    aln_length=max(abs(qe + 1), abs(te + 1)))
+                per_results[j][i] = res
+                if te == -1 or mode == SCORE_ONLY:
+                    if te != -1:
+                        res.seq_id = util.estimate_seq_id_by_score_per_col(
+                            raw, max(qe, 1), max(te, 1))
+                    continue
+                res.qcov = float(util.compute_cov(0, qe, qL))
+                res.dbcov = float(util.compute_cov(0, te, tL))
                 low_cov = not util.has_coverage(cov_thr, cov_mode,
                                                 res.qcov, res.dbcov)
-                if mode == SCORE_COV:
-                    res.seq_id = util.estimate_seq_id_by_score_per_col(
-                        res.raw_score, max(res.q_end - res.q_start, 1),
-                        max(res.db_end - res.db_start, 1))
-                    continue
-                if low_cov:
-                    continue   # alignStartPosBacktrace returns pre-banded
+                if ev > eval_thr or low_cov:
+                    continue  # ssw_align_private early return (mode 1, 2)
+                rev = ctx.profile[:, : qe + 1][:, ::-1]
+                pad = bucket_length(qe + 1) - rev.shape[1]
+                if pad:
+                    rev = np.pad(rev, ((0, 0), (0, pad)),
+                                 constant_values=-(1 << 20))
+                rev_profiles.append(np.ascontiguousarray(rev))
+                rev_targets.append(seqs[i][: te + 1][::-1].copy())
+                rev_ref.append((j, i))
 
-                # 4. backtrace (host banded DP) + real sequence identity
-                t_num = target_seqs[i]
-                t_win = t_num[res.db_start: res.db_end + 1]
-                q_idx = np.arange(res.q_start, res.q_end + 1)
-                s_win = ctx.profile[np.asarray(t_win)[None, :],
-                                    q_idx[:, None]]
-                bt = banded_align_scores(t_win, s_win, res.raw_score,
-                                         self.go, self.ge)
-                res.backtrace = bt
-                res.aln_length = len(bt)
-                q_win = ctx.q_num[res.q_start:]
-                t_win = t_num[res.db_start:]
-                qi = ti = 0
-                aa_ids = 0
-                m_scores = []
-                for op in bt:
-                    if op == 'M':
-                        aa_ids += int(t_win[ti] == q_win[qi])
-                        if self.corr_score_weight > 0.0:
-                            # int8 per-column match score incl. bias
-                            # (StripedSmithWaterman.cpp:1289-1292)
-                            m_scores.append(np.int8(
-                                ctx.profile[int(t_win[ti]),
-                                            res.q_start + qi]))
-                        qi += 1
-                        ti += 1
-                    elif op == 'I':
-                        qi += 1
-                    else:
-                        ti += 1
-                if self.corr_score_weight > 0.0:
-                    # neighbour-column score correlation bonus
-                    # (StripedSmithWaterman.cpp:1249-1253,1338-1362)
-                    sc = np.asarray(m_scores, dtype=np.int64)
-                    corr = sum(int((sc[lag:] * sc[:-lag]).sum())
-                               for lag in (1, 2, 3, 4) if len(sc) > lag)
-                    new_raw = int(np.float32(res.raw_score)
-                                  + np.float32(corr)
-                                  * np.float32(self.corr_score_weight))
-                    res.raw_score = new_raw
-                    res.eval = self.evaluer.compute_evalue(new_raw, qL)
-                    res.score = int(
-                        self.evaluer.compute_bit_score(new_raw) + 0.5)
-                res.seq_id = float(util.compute_seq_id(
-                    seq_id_mode, aa_ids, qL, res.db_len, res.aln_length))
-        return results
+        # 3. reverse pass -> start positions, grouped by shape
+        rev_groups = {}
+        for k in range(len(rev_ref)):
+            key = (rev_profiles[k].shape[1],
+                   bucket_length(max(len(rev_targets[k]), 1)))
+            rev_groups.setdefault(key, []).append(k)
+        rev_out = {}
+        for idxs in rev_groups.values():
+            rs, rqe, rte = self._batch_scan(
+                np.stack([rev_profiles[k] for k in idxs]),
+                np.arange(len(idxs), dtype=np.int32),
+                [rev_targets[k] for k in idxs])
+            for m, k in enumerate(idxs):
+                rev_out[k] = (int(rs[m]), int(rqe[m]), int(rte[m]))
+
+        for k, (j, i) in enumerate(rev_ref):
+            ctx, keys, seqs, lens, ident = jobs[j]
+            qL = len(ctx.q_num)
+            res = per_results[j][i]
+            rs, rqe, rte = rev_out[k]
+            if rs != res.raw_score:
+                raise RuntimeError(
+                    f"forward/reverse SW score mismatch {rs} != "
+                    f"{res.raw_score} (target {res.db_key})")
+            res.q_start = res.q_end - rqe
+            res.db_start = res.db_end - rte
+            res.qcov = float(util.compute_cov(res.q_start, res.q_end, qL))
+            res.dbcov = float(util.compute_cov(res.db_start, res.db_end,
+                                               res.db_len))
+            res.aln_length = max(abs(res.q_end - res.q_start),
+                                 abs(res.db_end - res.db_start)) + 1
+            low_cov = not util.has_coverage(cov_thr, cov_mode,
+                                            res.qcov, res.dbcov)
+            if mode == SCORE_COV:
+                res.seq_id = util.estimate_seq_id_by_score_per_col(
+                    res.raw_score, max(res.q_end - res.q_start, 1),
+                    max(res.db_end - res.db_start, 1))
+                continue
+            if low_cov:
+                continue   # alignStartPosBacktrace returns pre-banded
+
+            # 4. backtrace (host banded DP) + real sequence identity
+            t_num = seqs[i]
+            t_win = t_num[res.db_start: res.db_end + 1]
+            q_idx = np.arange(res.q_start, res.q_end + 1)
+            s_win = ctx.profile[np.asarray(t_win)[None, :],
+                                q_idx[:, None]]
+            bt = banded_align_scores(t_win, s_win, res.raw_score,
+                                     self.go, self.ge)
+            res.backtrace = bt
+            res.aln_length = len(bt)
+            q_win = ctx.q_num[res.q_start:]
+            t_win = t_num[res.db_start:]
+            qi = ti = 0
+            aa_ids = 0
+            m_scores = []
+            for op in bt:
+                if op == 'M':
+                    aa_ids += int(t_win[ti] == q_win[qi])
+                    if self.corr_score_weight > 0.0:
+                        # int8 per-column match score incl. bias
+                        # (StripedSmithWaterman.cpp:1289-1292)
+                        m_scores.append(np.int8(
+                            ctx.profile[int(t_win[ti]),
+                                        res.q_start + qi]))
+                    qi += 1
+                    ti += 1
+                elif op == 'I':
+                    qi += 1
+                else:
+                    ti += 1
+            if self.corr_score_weight > 0.0:
+                # neighbour-column score correlation bonus
+                # (StripedSmithWaterman.cpp:1249-1253,1338-1362)
+                sc = np.asarray(m_scores, dtype=np.int64)
+                corr = sum(int((sc[lag:] * sc[:-lag]).sum())
+                           for lag in (1, 2, 3, 4) if len(sc) > lag)
+                new_raw = int(np.float32(res.raw_score)
+                              + np.float32(corr)
+                              * np.float32(self.corr_score_weight))
+                res.raw_score = new_raw
+                res.eval = self.evaluer.compute_evalue(new_raw, qL)
+                res.score = int(
+                    self.evaluer.compute_bit_score(new_raw) + 0.5)
+            res.seq_id = float(util.compute_seq_id(
+                seq_id_mode, aa_ids, qL, res.db_len, res.aln_length))
+        return per_results

@@ -141,11 +141,17 @@ def align(par, command):
                       else dbt.DBTYPE_ALIGNMENT_RES)
     total_passed = 0
     aln_num = 0
-    for pid in range(prefdb.size):
-        query_key = prefdb.get_db_key(pid)
-        data = prefdb.get_data(pid)
-        lines = []
-        if data:
+    BLOCK = 128     # queries per align_batch (one scan per shape group)
+    pid = 0
+    while pid < prefdb.size:
+        block = []
+        while pid < prefdb.size and len(block) < BLOCK:
+            query_key = prefdb.get_db_key(pid)
+            data = prefdb.get_data(pid)
+            pid += 1
+            if not data:
+                block.append((query_key, None))
+                continue
             hit_keys, _, _ = parse_prefilter_entry(data)
             qid = qreader.get_id(query_key)
             if query_is_profile:
@@ -158,16 +164,15 @@ def align(par, command):
                 q_len = qdb.seq_len(qid)
 
             # canBeCovered pre-gate (counts as a rejection in the replay)
-            cand, pre_rejected = [], []
+            cand = []
             for key in hit_keys:
                 tid = treader.get_id(key)
                 if tid < 0:
-                    log.die(f"Sequence {key} required by the prefilter result "
-                            f"is missing from the target database")
+                    log.die(f"Sequence {key} required by the prefilter "
+                            f"result is missing from the target database")
                 t_len = tdb.seq_len(tid)
                 if not autil.can_be_covered(cov_thr, par.cov_mode,
                                             float(q_len), float(t_len)):
-                    pre_rejected.append(key)
                     cand.append(None)
                 else:
                     cand.append((key, tid, t_len))
@@ -176,11 +181,31 @@ def align(par, command):
             tids = [c[1] for c in cand if c]
             tlens = [c[2] for c in cand if c]
             ident = [same_db and k == query_key or
-                     (par.include_identity and k == query_key) for k in keys]
+                     (par.include_identity and k == query_key)
+                     for k in keys]
             tseqs = [tdb.seq_num(t) for t in tids]
-            results = aligner.align_query(
-                ctx, keys, tseqs, tlens, ident, sw_mode,
-                par.cov_mode, cov_thr, par.evalue, par.seq_id_mode)
+            block.append((query_key, dict(
+                qid=qid, ctx=ctx, cand=cand, keys=keys, tids=tids,
+                tlens=tlens, ident=ident, tseqs=tseqs)))
+
+        jobs = [(b["ctx"], b["keys"], b["tseqs"], b["tlens"], b["ident"])
+                for _, b in block if b is not None]
+        batch_results = aligner.align_batch(
+            jobs, sw_mode, par.cov_mode, cov_thr, par.evalue,
+            par.seq_id_mode)
+        bi = 0
+        for query_key, b in block:
+            lines = []
+            if b is None:
+                writer.write(query_key, b"")
+                continue
+            ctx = b["ctx"]
+            cand = b["cand"]
+            ident = b["ident"]
+            tids = b["tids"]
+            qid = b["qid"]
+            results = batch_results[bi]
+            bi += 1
             aln_num += len(results)
 
             # replay the accept/reject loop in prefilter order
@@ -262,7 +287,7 @@ def align(par, command):
                 lines = [f"{r.db_key}\n" for r in final]
             else:
                 lines = [r.to_line(add_backtrace) for r in final]
-        writer.write(query_key, "".join(lines).encode())
+            writer.write(query_key, "".join(lines).encode())
     writer.close()
     log.info(f"{aln_num} alignments calculated, {total_passed} sequence pairs "
              f"passed the thresholds")

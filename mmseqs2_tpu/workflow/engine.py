@@ -48,7 +48,10 @@ class Workflow:
                 if attr not in sub._was_set:
                     sub.set(attr, getattr(par, attr))
         fn = cmd.load()
+        timer = log.Timer()
         ret = fn(sub, cmd)
+        log.info(f"[workflow] {command_name} -> "
+                 f"{os.path.basename(out_db)}: {timer}")
         if ret not in (0, None):
             raise RuntimeError(f"step {command_name} failed with {ret}")
 
