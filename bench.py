@@ -92,6 +92,48 @@ def _bench_kmer_prefilter(rng, n_targets=10000, t_len=350, n_queries=16):
     dt = time.perf_counter() - t0
     return total_matches * iters / dt
 
+def _bench_easy_search(n_targets=50_000, n_queries=128):
+    """End-to-end `easy-search` queries/s vs a BASELINE-config-2-shaped
+    target DB (prebuilt, cached in .bench_cache with a prebuilt .idx).
+    Exercises the whole pipeline: stage-0, device prefilter, batched
+    align, convertalis. Disable with MMSEQS2_TPU_BENCH_E2E=0."""
+    import os
+    import pathlib
+    import subprocess
+    import tempfile
+
+    root = pathlib.Path(__file__).parent
+    cache = root / ".bench_cache" / f"scale_{n_targets // 1000}k"
+    env = dict(os.environ)
+    if not (cache / "targets.fasta").exists():
+        subprocess.run(
+            [sys.executable, str(root / "experiments" / "make_scale_db.py"),
+             str(cache), str(n_targets), str(n_queries)],
+            check=True, env=env)
+
+    def cli(*args, timeout=1800):
+        subprocess.run([sys.executable, "-m", "mmseqs2_tpu", *args],
+                       check=True, env=env, timeout=timeout,
+                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+
+    tdb = str(cache / "tdb")
+    if not os.path.exists(tdb + ".dbtype"):
+        cli("createdb", str(cache / "targets.fasta"), tdb)
+    from mmseqs2_tpu.prefilter.index_io import index_path_for
+    if index_path_for(tdb) is None:
+        with tempfile.TemporaryDirectory() as td:
+            # search runs at -s 5.7 (Search.cpp:24); the index must match
+            cli("createindex", tdb, td, "-s", "5.7")
+
+    with tempfile.TemporaryDirectory() as td:
+        t0 = time.perf_counter()
+        cli("easy-search", str(cache / "queries.fasta"), tdb,
+            os.path.join(td, "out.m8"), os.path.join(td, "tmp"))
+        dt = time.perf_counter() - t0
+        n_lines = sum(1 for _ in open(os.path.join(td, "out.m8")))
+    return n_queries / dt, n_lines, dt
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -134,12 +176,32 @@ def main():
         print(f"kmer prefilter: {kmps / 1e6:.1f} M matches/s",
               file=sys.stderr)
     except Exception as e:        # never let the side metric kill bench
+        kmps = 0.0
         print(f"kmer prefilter bench skipped: {e}", file=sys.stderr)
+
+    # end-to-end easy-search throughput (BASELINE driver metric:
+    # "easy-search queries/s"); prebuilt 50k-target DB + .idx
+    import os
+    qps = hits = e2e_dt = 0
+    if os.environ.get("MMSEQS2_TPU_BENCH_E2E", "1") != "0":
+        try:
+            qps, hits, e2e_dt = _bench_easy_search()
+            print(f"easy-search e2e: {qps:.2f} queries/s "
+                  f"(128 q vs 50k targets, {hits} hits, {e2e_dt:.0f}s)",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"easy-search e2e bench skipped: {e}", file=sys.stderr)
     print(json.dumps({
         "metric": "sw_gcups",
         "value": round(gcups, 3),
         "unit": "GCUPS/chip",
         "vs_baseline": round(gcups / 1000.0, 4),
+        "extra": {
+            "gapless_gcups": round(gapless, 1),
+            "kmer_matches_per_s": round(kmps, 0),
+            "easy_search_qps": round(qps, 3),
+            "easy_search_hits": hits,
+        },
     }))
 
 

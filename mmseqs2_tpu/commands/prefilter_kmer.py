@@ -176,6 +176,28 @@ def prefilter_kmer(par, command):
     target_is_nucl = treader.base_type == dbt.DBTYPE_NUCLEOTIDES
 
     target_is_profile = treader.base_type == dbt.DBTYPE_HMM_PROFILE
+
+    # prebuilt-index parameter adoption (Prefiltering.cpp:111-160): flags
+    # the user did NOT set take the index's values, so a `<db>.idx` built
+    # at another sensitivity/k is used instead of triggering a rebuild
+    from ..prefilter.index_io import index_path_for, load_index_meta
+    _idx_path = index_path_for(tdb_path)
+    if _idx_path is not None and not target_is_profile:
+        try:
+            _m = load_index_meta(_idx_path)
+            if bool(_m.get("nucl", 0)) == bool(query_is_nucl):
+                if not par.was_set("kmer_size") and _m.get("k"):
+                    par.set("kmer_size", int(_m["k"]))
+                if (not par.was_set("sensitivity")
+                        and _m.get("sensitivity") is not None):
+                    par.set("sensitivity", float(_m["sensitivity"]))
+                if not par.was_set("spaced_kmer_mode"):
+                    par.set("spaced_kmer_mode", int(_m.get("spaced", 1)))
+                if not par.was_set("mask"):
+                    par.set("mask", int(_m.get("mask", 1)))
+        except Exception as e:
+            log.warning(f"ignoring unreadable index {_idx_path}: {e}")
+
     if query_is_nucl:
         kmer_size = par.kmer_size or 15
         kmer_thr = 0                       # Prefiltering.cpp:207-216

@@ -94,8 +94,15 @@ def _kernel(profile_ref, tpk_ref, *refs, lq, lt, n_tiles, go, ge, unroll,
         h_ref[:] = jnp.zeros_like(h_ref)
     else:
         ramp = subf * ge_f
-        nlev = max(1, (lq - 1).bit_length())
-        masks = [sub >= (1 << l) for l in range(nlev)]
+        # tiled lazy-F closure (experiments/sw_v9_tiled.py, +34% vs the
+        # full-height cummax): local log2(F_TILE)-level scan per F_TILE-row
+        # tile + a sequential (1, BT) carry chain across tiles
+        F_TILE = 8 if lq % 8 == 0 and lq >= 16 else lq
+        n_ftiles = lq // F_TILE
+        nlev = max(1, (F_TILE - 1).bit_length())
+        subt = jax.lax.broadcasted_iota(jnp.int32, (F_TILE, bt), 0)
+        masks = [subt >= (1 << l) for l in range(nlev)]
+        first_t = subt == 0
         h_ref[:] = ramp
         e_ref[:] = ramp + jnp.float32(NEG)
     hm_ref[:] = jnp.zeros_like(hm_ref)
@@ -124,15 +131,25 @@ def _kernel(profile_ref, tpk_ref, *refs, lq, lt, n_tiles, go, ge, unroll,
             diag = _shift_sub(h, jnp.float32(-ge)) + s   # s has +ge folded
             e = jnp.maximum(h - go_f, e_ref[:] - ge_f)
             hng = jnp.maximum(ramp, jnp.maximum(diag, e))
-            run = hng
-            for l in range(nlev):
-                rolled = pltpu.roll(run, 1 << l, axis=0)
-                run = jnp.where(masks[l], jnp.maximum(run, rolled), run)
-            f = _shift_sub(run, jnp.float32(NEG)) - goge
-            hnew = jnp.maximum(hng, f)
-            h_ref[:] = hnew
+            carry = jnp.full((1, bt), jnp.float32(NEG))
+            for k in range(n_ftiles):
+                hng_k = hng[k * F_TILE:(k + 1) * F_TILE]
+                run = hng_k
+                for l in range(nlev):
+                    rolled = pltpu.roll(run, 1 << l, axis=0)
+                    run = jnp.where(masks[l], jnp.maximum(run, rolled),
+                                    run)
+                run = jnp.maximum(run, carry)
+                # F for this tile: run shifted down one row, the previous
+                # tile's carry filling row 0
+                fsh = pltpu.roll(run, 1, axis=0)
+                fsh = jnp.where(first_t,
+                                jnp.broadcast_to(carry, (F_TILE, bt)), fsh)
+                carry = run[F_TILE - 1:F_TILE]
+                h_ref[pl.ds(k * F_TILE, F_TILE)] = jnp.maximum(
+                    hng_k, fsh - goge)
             e_ref[:] = e
-            htrue = hnew - ramp
+            htrue = h_ref[:] - ramp
         if track and pack:
             # deferred tracking: per-cell running max of packed
             # (score, earliest column); ONE cross-sublane reduce at the

@@ -68,6 +68,16 @@ def save_index(path: str, table: KmerIndexTable, meta: dict) -> None:
     w.close()
 
 
+def load_index_meta(path: str):
+    """Meta dict only (cheap peek for parameter adoption,
+    Prefiltering.cpp:111-160)."""
+    with DBReader(path) as r:
+        ver = r.get_data(r.get_id(K_VERSION)).rstrip(b"\x00").decode()
+        if ver != INDEX_VERSION:
+            raise ValueError(f"incompatible index version {ver!r}")
+        return json.loads(r.get_data(r.get_id(K_META)).rstrip(b"\x00"))
+
+
 def load_index(path: str):
     """Returns (KmerIndexTable, meta dict)."""
     with DBReader(path) as r:
