@@ -8,6 +8,8 @@ build with self-score k-mer pruning (IndexBuilder.cpp), per-query matching in
 prefilter/query_matcher.py, output `targetKey \t diagScore \t diagonal`.
 """
 
+import os
+
 import numpy as np
 
 from ..align import util as autil
@@ -296,6 +298,13 @@ def prefilter_kmer(par, command):
     device_ok = (use_device == "device" and not target_is_nucl
                  and bool(par.diag_score))
     n_splits = par.split if par.split_mode in (0, 2) else 0
+    if (n_splits == 0 and device_ok and par.split_mode in (0, 2)):
+        # setupSplit analogue (Prefiltering.cpp:287-310): pick the target
+        # split count from the device-memory budget and the index footprint
+        n_splits = _auto_split_count(treader, par)
+        if n_splits > 1:
+            log.info(f"Automatic target split: {n_splits} splits "
+                     f"(device memory budget)")
     if n_splits > 1 and not target_is_nucl and bool(par.diag_score):
         return _run_device_splits(
             par, qreader, treader, qdb, tdb, seed, ungapped, kmer_size,
@@ -417,13 +426,65 @@ def _run_device(par, qreader, treader, qdb, dev, matcher, query_is_profile,
     return 0
 
 
+def _parse_mem_limit(s: str) -> int:
+    """'750M'/'7G'/'0' -> bytes (Util::parseByteSize semantics)."""
+    s = (s or "0").strip()
+    mult = 1
+    if s and s[-1] in "kKmMgGtT":
+        mult = {"k": 1 << 10, "m": 1 << 20,
+                "g": 1 << 30, "t": 1 << 40}[s[-1].lower()]
+        s = s[:-1]
+    try:
+        return int(float(s) * mult)
+    except ValueError:
+        return 0
+
+
+def _device_mem_budget(par) -> int:
+    """HBM budget for the resident index: --split-memory-limit if set,
+    else the device's reported free memory, else a 12 GiB default."""
+    lim = _parse_mem_limit(par.split_memory_limit)
+    if lim > 0:
+        return lim
+    try:
+        import jax
+        stats = jax.devices()[0].memory_stats()
+        cap = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+        if cap:
+            return int(cap * 0.75)
+    except Exception:
+        pass
+    return 12 << 30
+
+
+def _auto_split_count(treader, par) -> int:
+    """Target split count so the device-resident index fits the budget.
+
+    Footprint per residue: 6 B packed index entry (u32 seq id + u16 pos,
+    IndexTable.h:25-30 parity) + 1 B sequence store; + per-sequence
+    bookkeeping; + ~2x headroom for the per-batch working buffers."""
+    residues = treader.total_residues()
+    need = int((6 + 1) * residues + 16 * treader.size) * 2
+    budget = _device_mem_budget(par)
+    return max(1, -(-need // max(budget, 1)))
+
+
 def _run_device_splits(par, qreader, treader, qdb, tdb, seed, ungapped,
                        kmer_size, kmer_thr, spaced, generator,
                        take_only_best, matcher, query_is_profile, same_db,
                        out_path, alpha, n_splits):
     """Out-of-core target-split prefilter: per-split index build + device
     candidate stage, exact cross-split merge (prefilter/split_merge.py).
-    Output is byte-identical to the unsplit run."""
+    Output is byte-identical to the unsplit run.
+
+    Streaming shape: queries are processed in chunks whose stage-0 triples
+    and per-split candidate fragments spill to disk (<out>.split_tmp), so
+    RSS is bounded by one chunk regardless of query-set size — the
+    reference's query-stream behavior for RAM-bound target splits
+    (Prefiltering.cpp:755-786)."""
+    import shutil
+
+    from ..ops.encode import calc_local_aa_bias
     from ..prefilter.device import DevicePrefilter
     from ..prefilter.split_merge import finalize_query, self_ungapped_score
 
@@ -431,43 +492,91 @@ def _run_device_splits(par, qreader, treader, qdb, tdb, seed, ungapped,
     bounds = np.linspace(0, nt, n_splits + 1).astype(np.int64)
     log.info(f"Target split mode: {n_splits} splits of ~"
              f"{nt // max(n_splits, 1)} sequences")
+    tmpdir = out_path + ".split_tmp"
+    os.makedirs(tmpdir, exist_ok=True)
+    QCHUNK = int(os.environ.get("MMSEQS2_TPU_SPLIT_QCHUNK", "1024"))
+    nq = qreader.size
+    n_chunks = max(1, -(-nq // QCHUNK))
 
-    # host stage once per query: triples + rescore profile
-    queries, qmeta = [], []
-    for qid_i in range(qreader.size):
-        q_key = qreader.get_db_key(qid_i)
-        identity_id = -1
-        if same_db or par.include_identity:
-            tid = treader.get_id(q_key)
-            if tid >= 0:
-                identity_id = tid
-        if query_is_profile:
-            from ..prefilter.kmer_generator import ProfileKmerGenerator
-            from ..profile.io import kmer_rows, parse_profile
-            p = parse_profile(qreader.get_data(qid_i))
-            ss, si = kmer_rows(p)
-            from ..prefilter.kmer_index import pattern_offsets
-            offs, _span = pattern_offsets(kmer_size, spaced,
-                                          par.spaced_kmer_pattern)
-            gen = ProfileKmerGenerator(kmer_size, alpha, ss, si, offs)
-            q_num = p.query_num.astype(np.int64)
-            s = p.scores.astype(np.int64)
-            rp = np.zeros((p.length, alpha + 1), dtype=np.int64)
-            rp[:, :20] = np.sign(s) * (np.abs(s) // 4)
-            q_len = float(p.length)
-        else:
-            gen = None
-            q_num = qdb.seq_num(qid_i)
-            rp = None
-            q_len = float(qreader.get_seq_len(qid_i))
-        queries.append(q_num)
-        qmeta.append(dict(key=q_key, ident=identity_id, gen=gen, rp=rp,
-                          qlen=q_len))
+    def chunk_range(c):
+        return range(c * QCHUNK, min((c + 1) * QCHUNK, nq))
 
-    # per-split candidate fragments
-    frags = [[] for _ in range(len(queries))]
-    codes_cache = [None] * len(queries)
-    profs_cache = [None] * len(queries)
+    # pass 0: per-chunk host stage-0 (triples + rescore profiles), spilled
+    qmeta = []          # per query: key, ident, qlen (small)
+    for c in range(n_chunks):
+        codes_l, qpos_l, prof_l, qnum_l = [], [], [], []
+        for qid_i in chunk_range(c):
+            q_key = qreader.get_db_key(qid_i)
+            identity_id = -1
+            if same_db or par.include_identity:
+                tid = treader.get_id(q_key)
+                if tid >= 0:
+                    identity_id = tid
+            if query_is_profile:
+                from ..prefilter.kmer_generator import ProfileKmerGenerator
+                from ..profile.io import kmer_rows, parse_profile
+                p = parse_profile(qreader.get_data(qid_i))
+                ss, si = kmer_rows(p)
+                from ..prefilter.kmer_index import pattern_offsets
+                offs, _span = pattern_offsets(kmer_size, spaced,
+                                              par.spaced_kmer_pattern)
+                gen = ProfileKmerGenerator(kmer_size, alpha, ss, si, offs)
+                q_num = p.query_num.astype(np.int64)
+                s = p.scores.astype(np.int64)
+                prof = np.zeros((p.length, alpha + 1), dtype=np.int32)
+                prof[:, :20] = np.sign(s) * (np.abs(s) // 4)
+                q_len = float(p.length)
+                comp_bias = np.zeros(len(q_num), np.float32)
+            else:
+                gen = generator
+                q_num = qdb.seq_num(qid_i)
+                q_len = float(qreader.get_seq_len(qid_i))
+                comp_bias = (calc_local_aa_bias(
+                    q_num, seed.sub_matrix, seed.pback,
+                    par.comp_bias_corr_scale) if par.comp_bias_corr
+                    else np.zeros(len(q_num), np.float32))
+                corr = np.trunc(np.where(comp_bias < 0.0,
+                                         comp_bias / 4 - 0.5,
+                                         comp_bias / 4 + 0.5)).astype(
+                                             np.int32)
+                prof = (ungapped.sub_matrix[q_num, :].astype(np.int32)
+                        + corr[:, None])
+            tmp_dev = DevicePrefilter.__new__(DevicePrefilter)
+            # minimal stage-0 state (query_triples only touches these)
+            tmp_dev.index = _Stage0Index(alpha, kmer_size, spaced,
+                                         par.spaced_kmer_pattern)
+            tmp_dev.kmer_thr = kmer_thr
+            tmp_dev.take_only_best = take_only_best
+            tmp_dev.generator = gen
+            tmp_dev.x_index = seed.alphabet_size - 1
+            codes, qpos = DevicePrefilter.query_triples(
+                tmp_dev, q_num, comp_bias, gen)
+            codes_l.append(codes)
+            qpos_l.append(qpos)
+            prof_l.append(prof)
+            qnum_l.append(q_num.astype(np.int32))
+            qmeta.append(dict(key=q_key, ident=identity_id, qlen=q_len))
+        np.savez(os.path.join(tmpdir, f"q{c}.npz"),
+                 codes=np.concatenate(codes_l) if codes_l else
+                 np.zeros(0, np.int64),
+                 qpos=np.concatenate(qpos_l) if qpos_l else
+                 np.zeros(0, np.int32),
+                 k_of=np.array([len(x) for x in codes_l], np.int64),
+                 prof=np.concatenate(prof_l) if prof_l else
+                 np.zeros((0, alpha + 1), np.int32),
+                 p_of=np.array([len(p) for p in prof_l], np.int64),
+                 qnum=np.concatenate(qnum_l) if qnum_l else
+                 np.zeros(0, np.int32),
+                 n_of=np.array([len(x) for x in qnum_l], np.int64))
+
+    def load_chunk(c):
+        z = np.load(os.path.join(tmpdir, f"q{c}.npz"))
+        ko = np.concatenate([[0], np.cumsum(z["k_of"])]).astype(np.int64)
+        po = np.concatenate([[0], np.cumsum(z["p_of"])]).astype(np.int64)
+        no = np.concatenate([[0], np.cumsum(z["n_of"])]).astype(np.int64)
+        return z, ko, po, no
+
+    # per-split candidate fragments, spilled per (split, chunk)
     for s_i in range(n_splits):
         lo, hi = int(bounds[s_i]), int(bounds[s_i + 1])
         table = build_index(tdb, seed, kmer_size,
@@ -481,68 +590,103 @@ def _run_device_splits(par, qreader, treader, qdb, tdb, seed, ungapped,
             par.min_ungapped_score, generator,
             take_only_best_kmer=take_only_best)
         BATCH = 64
-        for b0 in range(0, len(queries), BATCH):
-            chunk = range(b0, min(b0 + BATCH, len(queries)))
-            prepared, qlens = [], []
-            for b in chunk:
-                if codes_cache[b] is None:
-                    m = qmeta[b]
-                    from ..ops.encode import calc_local_aa_bias
-                    if m["rp"] is not None:
-                        comp_bias = np.zeros(len(queries[b]), np.float32)
-                        profs_cache[b] = m["rp"].astype(np.int32)
-                    else:
-                        comp_bias = (calc_local_aa_bias(
-                            queries[b], seed.sub_matrix, seed.pback,
-                            par.comp_bias_corr_scale)
-                            if par.comp_bias_corr
-                            else np.zeros(len(queries[b]), np.float32))
-                        corr = np.trunc(np.where(
-                            comp_bias < 0.0, comp_bias / 4 - 0.5,
-                            comp_bias / 4 + 0.5)).astype(np.int32)
-                        profs_cache[b] = (ungapped.sub_matrix[
-                            queries[b], :].astype(np.int32)
-                            + corr[:, None])
-                    codes_cache[b] = dev.query_triples(
-                        queries[b], comp_bias, m["gen"])
-                codes, qpos = codes_cache[b]
-                st, ct = table.lists(codes)
-                prepared.append((st.astype(np.int32), ct.astype(np.int32),
-                                 qpos, profs_cache[b]))
-                qlens.append(len(queries[b]))
-            got = dev.candidates_batch(prepared, qlens)
-            for j, b in enumerate(chunk):
-                ids_l, diags, scores, exacts = got[j]
-                frags[b].append((ids_l + lo, diags, scores,
-                                 {(i + lo, d): v
-                                  for (i, d), v in exacts.items()}))
+        for c in range(n_chunks):
+            z, ko, po, no = load_chunk(c)
+            rows = list(chunk_range(c))
+            out_ids, out_diag, out_sc = [], [], []
+            out_eids, out_ev = [], []
+            for b0 in range(0, len(rows), BATCH):
+                sub = range(b0, min(b0 + BATCH, len(rows)))
+                prepared, qlens = [], []
+                for r in sub:
+                    codes = z["codes"][ko[r]:ko[r + 1]]
+                    qpos = z["qpos"][ko[r]:ko[r + 1]]
+                    st, ct = table.lists(codes)
+                    nz = ct > 0
+                    prepared.append((st[nz].astype(np.int32),
+                                     ct[nz].astype(np.int32), qpos[nz],
+                                     z["prof"][po[r]:po[r + 1]]))
+                    qlens.append(int(no[r + 1] - no[r]))
+                got = dev.candidates_batch(prepared, qlens)
+                for j, r in enumerate(sub):
+                    ids_l, diags, scores, exacts = got[j]
+                    out_ids.append(ids_l + lo)
+                    out_diag.append(diags)
+                    out_sc.append(scores)
+                    ek = np.array([[i + lo, d] for (i, d) in exacts],
+                                  np.int64).reshape(-1, 2)
+                    out_eids.append(ek)
+                    out_ev.append(np.array(list(exacts.values()),
+                                           np.int64))
+            np.savez(os.path.join(tmpdir, f"f{s_i}_{c}.npz"),
+                     ids=np.concatenate(out_ids) if out_ids else
+                     np.zeros(0, np.int64),
+                     diag=np.concatenate(out_diag) if out_diag else
+                     np.zeros(0, np.uint16),
+                     sc=np.concatenate(out_sc) if out_sc else
+                     np.zeros(0, np.int64),
+                     n_of=np.array([len(x) for x in out_ids], np.int64),
+                     ek=np.concatenate(out_eids) if out_eids else
+                     np.zeros((0, 2), np.int64),
+                     ev=np.concatenate(out_ev) if out_ev else
+                     np.zeros(0, np.int64),
+                     e_of=np.array([len(x) for x in out_ev], np.int64))
         del dev, table
 
-    # exact cross-split merge
+    # exact cross-split merge, chunk-streamed
     writer = DBWriter(out_path, dbt.DBTYPE_PREFILTER_RES)
-    for b, q_num in enumerate(queries):
-        m = qmeta[b]
-        ids = np.concatenate([f[0] for f in frags[b]]) if frags[b] else             np.zeros(0, np.int64)
-        diags = np.concatenate([f[1] for f in frags[b]]) if frags[b] else             np.zeros(0, np.uint16)
-        scores = np.concatenate([f[2] for f in frags[b]]) if frags[b] else             np.zeros(0, np.int64)
-        exacts = {}
-        for f in frags[b]:
-            exacts.update(f[3])
+    for c in range(n_chunks):
+        z, ko, po, no = load_chunk(c)
+        rows = list(chunk_range(c))
+        fz = [np.load(os.path.join(tmpdir, f"f{s}_{c}.npz"))
+              for s in range(n_splits)]
+        f_of = [np.concatenate([[0], np.cumsum(f["n_of"])]).astype(np.int64)
+                for f in fz]
+        e_of = [np.concatenate([[0], np.cumsum(f["e_of"])]).astype(np.int64)
+                for f in fz]
+        for r, qid_i in enumerate(rows):
+            m = qmeta[qid_i]
+            ids = np.concatenate([fz[s]["ids"][f_of[s][r]:f_of[s][r + 1]]
+                                  for s in range(n_splits)])
+            diags = np.concatenate(
+                [fz[s]["diag"][f_of[s][r]:f_of[s][r + 1]]
+                 for s in range(n_splits)])
+            scores = np.concatenate(
+                [fz[s]["sc"][f_of[s][r]:f_of[s][r + 1]]
+                 for s in range(n_splits)])
+            exacts = {}
+            for s in range(n_splits):
+                ek = fz[s]["ek"][e_of[s][r]:e_of[s][r + 1]]
+                ev = fz[s]["ev"][e_of[s][r]:e_of[s][r + 1]]
+                for (i, d), v in zip(ek, ev):
+                    exacts[(int(i), int(d))] = int(v)
 
-        def exact_fn(eids, ediags, _ex=exacts):
-            return np.array([_ex[(int(i), int(d))]
-                             for i, d in zip(eids, ediags)], np.int64)
+            def exact_fn(eids, ediags, _ex=exacts):
+                return np.array([_ex[(int(i), int(d))]
+                                 for i, d in zip(eids, ediags)], np.int64)
 
-        prof = profs_cache[b].astype(np.int64)
-        self_sc = self_ungapped_score(prof, q_num)             if m["rp"] is None else self_ungapped_score(prof, q_num)
-        hits = finalize_query(ids, diags, scores, par.max_seqs,
-                              par.min_ungapped_score, m["ident"],
-                              exact_fn, self_sc)
-        _write_hits(writer, par, treader, m["key"], m["qlen"], hits)
+            prof = z["prof"][po[r]:po[r + 1]].astype(np.int64)
+            q_num = z["qnum"][no[r]:no[r + 1]].astype(np.int64)
+            self_sc = self_ungapped_score(prof, q_num)
+            hits = finalize_query(ids, diags, scores, par.max_seqs,
+                                  par.min_ungapped_score, m["ident"],
+                                  exact_fn, self_sc)
+            _write_hits(writer, par, treader, m["key"], m["qlen"], hits)
     writer.close()
+    shutil.rmtree(tmpdir, ignore_errors=True)
     return 0
 
 
+class _Stage0Index:
+    """The slice of KmerIndexTable that query_triples needs (spaced
+    pattern + alphabet) without building any posting lists."""
+
+    def __init__(self, alpha, kmer_size, spaced, pattern):
+        from ..prefilter.kmer_index import pattern_offsets
+        self.alpha = alpha
+        self.k = kmer_size
+        self.offsets_pat, self.span = pattern_offsets(kmer_size, spaced,
+                                                      pattern)
 
 
 def _print_statistics(stats_acc, reslens, n_queries, max_results):

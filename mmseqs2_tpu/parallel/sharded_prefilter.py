@@ -186,18 +186,18 @@ class ShardedPrefilter:
                            1), 64)
         s_max = max(len(ss) for ss in seqs_per)
         es = np.zeros((self.n_t, e_max), np.int32)
-        ep = np.zeros((self.n_t, e_max), np.int32)
-        tc = np.zeros((self.n_t, r_max + 1), np.int32)
+        ep = np.zeros((self.n_t, e_max), np.uint16)    # 6 B/entry packed
+        tc = np.zeros((self.n_t, r_max + 1), np.int8)  # 1 B/residue
         to = np.zeros((self.n_t, s_max), np.int32)
         tl = np.zeros((self.n_t, s_max), np.int32)
         for t, (tbl, ss) in enumerate(zip(self.tables, seqs_per)):
             ne = len(tbl.entries_seq)
             es[t, :ne] = tbl.entries_seq
-            ep[t, :ne] = tbl.entries_pos.astype(np.int32)
+            ep[t, :ne] = tbl.entries_pos
             lens = [len(s) for s in ss]
             offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
             if ss:
-                cat = np.concatenate(ss).astype(np.int32)
+                cat = np.concatenate(ss).astype(np.int8)
                 tc[t, :len(cat)] = cat
             to[t, :len(ss)] = offs[:-1]
             tl[t, :len(ss)] = lens

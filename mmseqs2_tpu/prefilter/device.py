@@ -162,13 +162,15 @@ class DevicePrefilter:
             # device arrays itself; the full index stays host-side)
             return
         t_offsets = np.concatenate([[0], np.cumsum(t_lens)]).astype(np.int32)
+        # packed device layout (IndexTable.h:25-30 parity: 6 B/entry —
+        # u32 seq id + u16 position — and 1 B/residue sequence store)
         t_cat = (np.concatenate(seqs) if len(seqs) else
-                 np.zeros(0, np.uint8)).astype(np.int32)
+                 np.zeros(0, np.uint8)).astype(np.int8)
         self.d_entries_seq = jnp.asarray(np.append(
             index_table.entries_seq, 0).astype(np.int32))
         self.d_entries_pos = jnp.asarray(np.append(
-            index_table.entries_pos.astype(np.int32), 0))
-        self.d_t_cat = jnp.asarray(np.append(t_cat, 0).astype(np.int32))
+            index_table.entries_pos, 0).astype(np.uint16))
+        self.d_t_cat = jnp.asarray(np.append(t_cat, 0).astype(np.int8))
         self.d_t_offsets = jnp.asarray(t_offsets[:-1] if len(seqs)
                                        else np.zeros(1, np.int32))
         self.d_t_lens = jnp.asarray(t_lens)

@@ -43,7 +43,7 @@ def stage_candidates(starts, counts, qpos, qid, entries_seq, entries_pos,
     within = k_arange - (cum[trip] - counts[trip])
     ent = jnp.where(valid, starts[trip] + within, 0)
     ids = jnp.where(valid, entries_seq[ent], I32_MAX)
-    tpos = entries_pos[ent]
+    tpos = entries_pos[ent].astype(jnp.int32)    # u16 packed entries
     diag = (qpos[trip] - tpos) & 0xFFFF
     hqid = jnp.where(valid, qid[trip], I32_MAX)
 
@@ -111,7 +111,8 @@ def make_rescore(t_cat, t_offsets, t_lens, prof, q_lens,
             qid_k, qs_k, base_k, n_k = args
             l = jnp.arange(ln_max, dtype=jnp.int32)[None, :]
             active = l < n_k[:, None]
-            tc = t_cat[jnp.where(active, base_k[:, None] + l, 0)]
+            tc = t_cat[jnp.where(active, base_k[:, None] + l, 0)].astype(
+                jnp.int32)                       # i8 packed residues
             qrow = jnp.minimum(qs_k[:, None] + l, lq_max - 1)
             s = prof_flat[(qid_k[:, None] * lq_max + qrow) * alpha + tc]
             s = jnp.where(active, s, 0)
