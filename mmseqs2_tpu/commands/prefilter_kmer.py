@@ -364,8 +364,15 @@ def _write_hits(writer, par, treader, q_key, q_len, hits):
 def _run_device(par, qreader, treader, qdb, dev, matcher, query_is_profile,
                 same_db, out_path, alpha):
     """Batched device prefilter: accumulate prepared queries until the hit
-    budget fills, then run one jitted device match per batch."""
-    writer = DBWriter(out_path, dbt.DBTYPE_PREFILTER_RES)
+    budget fills, then run one jitted device match per batch.
+
+    Multi-host: every process computes (the sharded collectives need all
+    ranks), rank 0 writes the result DB (all ranks hold identical merged
+    output — the analogue of the reference's MPI master merge)."""
+    import jax
+    is_writer = jax.process_count() == 1 or jax.process_index() == 0
+    writer = (DBWriter(out_path, dbt.DBTYPE_PREFILTER_RES) if is_writer
+              else None)
     HIT_BUDGET = 1 << 22
     batch, budget = [], 0
     reslens = []
@@ -384,10 +391,11 @@ def _run_device(par, qreader, treader, qdb, dev, matcher, query_is_profile,
                               else None),
             generators=(gens if any(g is not None for g in gens)
                         else None))
-        for b, hits in zip(batch, hit_lists):
-            n = _write_hits(writer, par, treader, b["key"], b["qlen"],
-                            hits)
-            reslens.append(n)
+        if writer is not None:
+            for b, hits in zip(batch, hit_lists):
+                n = _write_hits(writer, par, treader, b["key"], b["qlen"],
+                                hits)
+                reslens.append(n)
         batch, budget = [], 0
 
     for qid in range(qreader.size):
@@ -421,8 +429,9 @@ def _run_device(par, qreader, treader, qdb, dev, matcher, query_is_profile,
         if len(batch) >= 64 or budget >= 1 << 16:
             flush()
     flush()
-    writer.close()
-    _print_statistics(None, reslens, qreader.size, par.max_seqs)
+    if writer is not None:
+        writer.close()
+        _print_statistics(None, reslens, qreader.size, par.max_seqs)
     return 0
 
 

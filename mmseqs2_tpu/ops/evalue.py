@@ -82,6 +82,82 @@ PRECOMPUTED = {
 }
 
 
+def _alp_live(submat, gap_open, gap_extend, is_gapped):
+    """Exact Gumbel parameters for an arbitrary matrix via the reference's
+    ALP Monte-Carlo estimation (lib/alp, seed 42 — the simulation
+    EvalueComputation::init runs at first use for unknown combos,
+    reference src/alignment/EvalueComputation.h:108-132).
+
+    The native helper native/alp_harvest.cpp is compiled once against the
+    ALP library sources (env MMSEQS2_TPU_ALP_SRC, or the reference
+    checkout's lib/alp when present) and results are cached on disk
+    keyed by the matrix content + gap costs. Returns None when the ALP
+    sources are unavailable."""
+    import glob
+    import hashlib
+    import json
+    import os
+    import pathlib
+    import subprocess
+
+    import numpy as np
+
+    cache_root = pathlib.Path(os.environ.get(
+        "MMSEQS2_TPU_CACHE",
+        os.path.expanduser("~/.cache/mmseqs2_tpu")))
+    alpha = submat.alphabet_size
+    mat = submat.sub_matrix[:alpha, :alpha].astype(np.int64)
+    pback = np.asarray(submat.pback, np.float64)
+    h = hashlib.sha256()
+    h.update(mat.tobytes())
+    h.update(pback.tobytes())
+    key = f"{h.hexdigest()[:20]}_{gap_open}_{gap_extend}_{int(is_gapped)}"
+    cache_file = cache_root / "alp_live.json"
+    try:
+        cache = json.loads(cache_file.read_text())
+    except (OSError, ValueError):
+        cache = {}
+    if key in cache:
+        return GumbelParams(*cache[key])
+
+    src = os.environ.get("MMSEQS2_TPU_ALP_SRC", "/root/reference/lib/alp")
+    cpp = pathlib.Path(__file__).resolve().parents[2] / "native" \
+        / "alp_harvest.cpp"
+    if not (os.path.isdir(src) and cpp.exists()):
+        return None
+    binp = cache_root / "alp_harvest"
+    if not binp.exists():
+        cache_root.mkdir(parents=True, exist_ok=True)
+        srcs = sorted(glob.glob(os.path.join(src, "*.cpp")))
+        r = subprocess.run(
+            ["g++", "-O2", f"-I{src}", str(cpp), *srcs, "-o", str(binp)],
+            capture_output=True)
+        if r.returncode != 0:
+            return None
+    lines = [str(alpha)]
+    for row in mat:
+        lines.append(" ".join(str(int(x)) for x in row))
+    lines.append(" ".join(repr(float(x)) for x in pback))
+    lines.append(f"{gap_open} {gap_extend} {int(is_gapped)}")
+    try:
+        proc = subprocess.run([str(binp)], input="\n".join(lines) + "\n",
+                              capture_output=True, text=True, timeout=240)
+    except (subprocess.TimeoutExpired, OSError):
+        return None
+    for line in proc.stdout.splitlines():
+        parts = line.split()
+        if parts and parts[0] == "OK":
+            par = [float(x) for x in parts[4:16]]
+            cache[key] = par
+            try:
+                cache_root.mkdir(parents=True, exist_ok=True)
+                cache_file.write_text(json.dumps(cache))
+            except OSError:
+                pass
+            return GumbelParams(*par)
+    return None
+
+
 class EvalueComputation:
     """Drop-in equivalent of the reference EvalueComputation."""
 
@@ -102,11 +178,17 @@ class EvalueComputation:
                                    raw[5], raw[6], raw[7], raw[8], raw[9],
                                    raw[10], raw[11])
         if par is None:
+            # custom matrix: run the reference's ALP simulation via the
+            # compile-once native helper (exact Gumbel params, disk-cached)
+            par = _alp_live(submat, gap_open, gap_extend, is_gapped)
+        if par is None:
             import warnings
             warnings.warn(
-                f"no precomputed ALP Gumbel parameters for {key}; falling "
-                "back to gapless Karlin-Altschul statistics — E-values will "
-                "be approximate (reference would run the ALP simulation)",
+                f"no precomputed ALP Gumbel parameters for {key} and the "
+                "ALP library sources are unavailable (set "
+                "MMSEQS2_TPU_ALP_SRC to an ALP checkout for exact values); "
+                "falling back to gapless Karlin-Altschul statistics — "
+                "E-values will be approximate",
                 stacklevel=2)
             par = self._simulate(submat, gap_open, gap_extend, is_gapped)
         # initParameters mapping (lib/alp/sls_alignment_evaluer.cpp:657-790):

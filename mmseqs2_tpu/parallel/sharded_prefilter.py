@@ -153,17 +153,30 @@ class ShardedPrefilter:
         if index_kmer_thr is None:
             index_kmer_thr = kmer_thr
 
-        # contiguous target shards (decomposeDomainByAminoAcid analogue)
+        # contiguous target shards (decomposeDomainByAminoAcid analogue).
+        # Multi-process: each process builds the index ONLY for the shards
+        # its local devices own (reference MPI rank<->split assignment,
+        # Prefiltering.cpp:605-689); the global mesh arrays are assembled
+        # from the process-local shards below.
+        import jax
+        self.n_procs = jax.process_count()
+        self.proc_id = jax.process_index()
+        local_ids = {d.id for d in jax.local_devices()}
+        mesh_dev = list(mesh.devices.reshape(-1))
+        self.local_shards = [t for t, d in enumerate(mesh_dev)
+                             if d.id in local_ids]
         bounds = np.linspace(0, n, self.n_t + 1).astype(np.int64)
         self.shard_base = bounds[:-1].astype(np.int32)
-        self.tables = []
-        seqs_per = []
+        self.tables = [None] * self.n_t
+        seqs_per = [None] * self.n_t
         for t in range(self.n_t):
             chunk_seqs = masked_seqs[bounds[t]:bounds[t + 1]]
+            seqs_per[t] = chunk_seqs
+            if self.n_procs > 1 and t not in self.local_shards:
+                continue
             tbl = KmerIndexTable(alpha, kmer_size, spaced, pattern)
             tbl.build(chunk_seqs, x_idx, index_kmer_thr, self_score)
-            self.tables.append(tbl)
-            seqs_per.append(chunk_seqs)
+            self.tables[t] = tbl
 
         # the unsharded device matcher supplies the host-side stage-0
         # machinery (triples + profiles); its own index is the full table
@@ -179,41 +192,67 @@ class ShardedPrefilter:
         self.k = kmer_size
         self.index = full_table
 
-        # padded per-shard device arrays
-        e_max = bucket(max(max(len(t.entries_seq) for t in self.tables), 1),
-                       64)
-        r_max = bucket(max(max(sum(len(s) for s in ss) for ss in seqs_per),
-                           1), 64)
+        # padded per-shard device arrays. Pad bounds must be identical on
+        # every process: in multi-process mode use the per-shard residue
+        # count (an upper bound on index entries) instead of the exact
+        # entry counts of tables this process never built.
+        res_per = [sum(len(s) for s in ss) for ss in seqs_per]
+        if self.n_procs == 1:
+            rows = list(range(self.n_t))
+            e_max = bucket(
+                max(max(len(t.entries_seq) for t in self.tables), 1), 64)
+        else:
+            rows = self.local_shards
+            e_max = bucket(max(max(res_per), 1), 64)
+        r_max = bucket(max(max(res_per), 1), 64)
         s_max = max(len(ss) for ss in seqs_per)
-        es = np.zeros((self.n_t, e_max), np.int32)
-        ep = np.zeros((self.n_t, e_max), np.uint16)    # 6 B/entry packed
-        tc = np.zeros((self.n_t, r_max + 1), np.int8)  # 1 B/residue
-        to = np.zeros((self.n_t, s_max), np.int32)
-        tl = np.zeros((self.n_t, s_max), np.int32)
-        for t, (tbl, ss) in enumerate(zip(self.tables, seqs_per)):
+        nrows = len(rows)
+        es = np.zeros((nrows, e_max), np.int32)
+        ep = np.zeros((nrows, e_max), np.uint16)   # 6 B/entry packed
+        tc = np.zeros((nrows, r_max + 1), np.int8)  # 1 B/residue
+        to = np.zeros((nrows, s_max), np.int32)
+        tl = np.zeros((nrows, s_max), np.int32)
+        for i, t in enumerate(rows):
+            tbl, ss = self.tables[t], seqs_per[t]
             ne = len(tbl.entries_seq)
-            es[t, :ne] = tbl.entries_seq
-            ep[t, :ne] = tbl.entries_pos
+            es[i, :ne] = tbl.entries_seq
+            ep[i, :ne] = tbl.entries_pos
             lens = [len(s) for s in ss]
             offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
             if ss:
                 cat = np.concatenate(ss).astype(np.int8)
-                tc[t, :len(cat)] = cat
-            to[t, :len(ss)] = offs[:-1]
-            tl[t, :len(ss)] = lens
-        self.d_es = jnp.asarray(es)
-        self.d_ep = jnp.asarray(ep)
-        self.d_tc = jnp.asarray(tc)
-        self.d_to = jnp.asarray(to)
-        self.d_tl = jnp.asarray(tl)
-        self.d_base = jnp.asarray(self.shard_base)
+                tc[i, :len(cat)] = cat
+            to[i, :len(ss)] = offs[:-1]
+            tl[i, :len(ss)] = lens
+        self.d_es = self._g(es, True)
+        self.d_ep = self._g(ep, True)
+        self.d_tc = self._g(tc, True)
+        self.d_to = self._g(to, True)
+        self.d_tl = self._g(tl, True)
+        self.d_base = self._g(self.shard_base[np.asarray(rows)]
+                              if self.n_procs > 1 else self.shard_base,
+                              True)
         self._steps = {}
+
+    def _g(self, arr, sharded: bool):
+        """Device placement: plain transfer single-process; global array
+        assembled from this process's shard rows under multi-host init."""
+        if self.n_procs == 1:
+            return jnp.asarray(arr)
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = (P("t", *([None] * (np.ndim(arr) - 1))) if sharded
+                else P())
+        return jax.make_array_from_process_local_data(
+            NamedSharding(self.mesh, spec), np.asarray(arr))
 
     def match_batch(self, queries, identity_ids, rescore_profiles=None,
                     generators=None):
         B = len(queries)
-        starts_l = [[] for _ in range(self.n_t)]
-        counts_l = [[] for _ in range(self.n_t)]
+        rows = (list(range(self.n_t)) if self.n_procs == 1
+                else self.local_shards)
+        starts_l = {t: [] for t in rows}
+        counts_l = {t: [] for t in rows}
         qpos_l, qid_l, profs, qlens = [], [], [], []
         for b, q_num in enumerate(queries):
             rp = rescore_profiles[b] if rescore_profiles else None
@@ -234,15 +273,19 @@ class ShardedPrefilter:
                 prof = (self.dev.ungapped.sub_matrix[q_num, :].astype(
                     np.int32) + corr[:, None])
             codes, qpos = self.dev.query_triples(q_num, comp_bias, gen)
-            per_s, per_c = [], []
+            per_s, per_c = {}, {}
             tot = np.zeros(len(codes), np.int64)
-            for t in range(self.n_t):
+            for t in rows:
                 s, c = self.tables[t].lists(codes)
-                per_s.append(s)
-                per_c.append(c)
+                per_s[t] = s
+                per_c[t] = c
                 tot += c
-            nz = tot > 0          # drop k-mers absent from every shard
-            for t in range(self.n_t):
+            # drop k-mers absent from every shard (single-process only:
+            # the filter must be identical on every process, and in
+            # multi-process mode each process only sees its own shards)
+            nz = (tot > 0 if self.n_procs == 1
+                  else np.ones(len(codes), bool))
+            for t in rows:
                 starts_l[t].append(per_s[t][nz].astype(np.int32))
                 counts_l[t].append(per_c[t][nz].astype(np.int32))
             qpos = qpos[nz]
@@ -255,16 +298,19 @@ class ShardedPrefilter:
         qid = np.concatenate(qid_l)
         K = len(qpos)
         k_cap = bucket(max(K, 1))
-        starts = np.zeros((self.n_t, k_cap), np.int32)
-        counts = np.zeros((self.n_t, k_cap), np.int32)
-        for t in range(self.n_t):
-            s = np.concatenate(starts_l[t])
-            c = np.concatenate(counts_l[t])
-            starts[t, :K] = s
-            counts[t, :K] = c
+        starts = np.zeros((len(rows), k_cap), np.int32)
+        counts = np.zeros((len(rows), k_cap), np.int32)
+        for i, t in enumerate(rows):
+            starts[i, :K] = np.concatenate(starts_l[t])
+            counts[i, :K] = np.concatenate(counts_l[t])
         qpos = np.pad(qpos, (0, k_cap - K))
         qid = np.pad(qid, (0, k_cap - K), constant_values=B - 1)
         total_max = int(counts.sum(axis=1).max())
+        if self.n_procs > 1:
+            # static shapes must agree across processes
+            from jax.experimental import multihost_utils
+            total_max = int(np.max(multihost_utils.process_allgather(
+                np.asarray([total_max]))))
 
         lq_max = bucket(max(qlens), 64)
         alpha = self.dev.ungapped.alphabet_size
@@ -284,11 +330,12 @@ class ShardedPrefilter:
                 chunk=min(4096, h_cap), out_sz=out_sz)
         step = self._steps[key]
         oq, oid, odiag, ofs, oval, truncated = step(
-            jnp.asarray(starts), jnp.asarray(counts), jnp.asarray(qpos),
-            jnp.asarray(qid), self.d_es, self.d_ep, self.d_tc, self.d_to,
-            self.d_tl, self.d_base, jnp.asarray(prof_pad),
-            jnp.asarray(np.array(qlens, np.int32)),
-            jnp.asarray(np.array(identity_ids, np.int32)))
+            self._g(starts, True), self._g(counts, True),
+            self._g(qpos, False), self._g(qid, False),
+            self.d_es, self.d_ep, self.d_tc, self.d_to,
+            self.d_tl, self.d_base, self._g(prof_pad, False),
+            self._g(np.array(qlens, np.int32), False),
+            self._g(np.array(identity_ids, np.int32), False))
         oq = np.asarray(oq)
         oid = np.asarray(oid)
         odiag = np.asarray(odiag)
