@@ -15,7 +15,7 @@ import numpy as np
 from ..commands.rescorediagonal import local_best
 from . import util
 from .aligner import AlnResult
-from .ksw2 import EXTZ_ONLY, SCORE_ONLY, extz2
+from .ksw2 import EXTZ_ONLY, SCORE_ONLY, extz2, extz2_batch
 
 
 def compute_ungapped_alignment(q_num, t_num, diagonal_u16, sub_matrix):
@@ -204,6 +204,131 @@ class NuclAligner:
                 ti += length
         return self._result(ez_aln.max, q_start, q_end, t_start, db_end,
                             qlen, tlen, "".join(backtrace), aa_ids, wrapped)
+
+    def align_pairs(self, t_list, diag_list, rev_list, wrapped=False):
+        """align() over many targets of the current query with the three
+        ksw2 extension calls batched through extz2_batch (identical
+        per-pair results, including the reused-buffer staleness — phase 1
+        walks targets in call order so the buffer history matches the
+        sequential path)."""
+        n = len(t_list)
+        metas = [None] * n
+        results = [None] * n
+        for i in range(n):
+            q = self.q_revcomp if rev_list[i] else self.q
+            q_rev = self.q_revcomp_rev if rev_list[i] else self.q_rev
+            t = np.asarray(t_list[i], dtype=np.int64)
+            stale_t = self._map_buffer("_tbuf", t)
+            t_rev = self._seq_reverse(t, stale_t)
+            qlen, tlen = len(q), len(t)
+            orig_qlen = qlen // 2 if wrapped else qlen
+            diagonal = diag_list[i]
+            if wrapped:
+                if qlen >= tlen * 2:
+                    sc, us, ue, diag, dist = compute_ungapped_wrapped(
+                        q, t, diagonal & 0xFFFF, self.mat)
+                else:
+                    sc, us, ue, diag, dist = compute_ungapped_alignment(
+                        q[:orig_qlen], t, diagonal & 0xFFFF, self.mat)
+            else:
+                sc, us, ue, diag, dist = compute_ungapped_alignment(
+                    q, t, diagonal & 0xFFFF, self.mat)
+            if diag >= 0:
+                q_us, q_ue = us + dist, ue + dist
+                db_us, db_ue = us, ue
+            else:
+                q_us, q_ue = us, ue
+                db_us, db_ue = us + dist, ue + dist
+            if (q_ue - q_us == orig_qlen - 1 and db_us == 0
+                    and db_ue == tlen - 1):
+                aa_ids = int((q[q_us:q_ue + 1] == t[db_us:db_ue + 1]).sum())
+                results[i] = self._result(sc, q_us, q_ue, db_us, db_ue,
+                                          qlen, tlen, "M" * orig_qlen,
+                                          aa_ids, wrapped)
+                continue
+            q_start_rev = (qlen - q_ue) - 1
+            t_start_rev = (tlen - db_ue) - 1
+            rev_len = qlen - q_start_rev
+            if wrapped and rev_len > orig_qlen:
+                rev_len = orig_qlen
+            metas[i] = dict(q=q, q_rev=q_rev, t=t, t_rev=t_rev, qlen=qlen,
+                            tlen=tlen, orig_qlen=orig_qlen,
+                            q_start_rev=q_start_rev,
+                            t_start_rev=t_start_rev, rev_len=rev_len)
+
+        idxs = [i for i in range(n) if metas[i] is not None]
+        if not idxs:
+            return results
+        # pass 1: reverse extension (score + end positions only)
+        ez1 = extz2_batch(
+            [metas[i]["q_rev"][metas[i]["q_start_rev"]:
+                               metas[i]["q_start_rev"]
+                               + metas[i]["rev_len"]] for i in idxs],
+            [metas[i]["t_rev"][metas[i]["t_start_rev"]:] for i in idxs],
+            self.mat_flat, self.m, self.go, self.ge, 64, self.zdrop,
+            SCORE_ONLY | EXTZ_ONLY)
+        # pass 2: forward extension with direction bytes + backtrack
+        fq, ft = [], []
+        for k, i in enumerate(idxs):
+            m_ = metas[i]
+            ez = ez1[k]
+            q_start = m_["qlen"] - (m_["q_start_rev"] + ez.max_q) - 1
+            t_start = m_["tlen"] - (m_["t_start_rev"] + ez.max_t) - 1
+            fwd_len = m_["qlen"] - q_start
+            if wrapped and fwd_len > m_["orig_qlen"]:
+                fwd_len = m_["orig_qlen"]
+            m_.update(ez=ez, q_start=q_start, t_start=t_start)
+            fq.append(m_["q"][q_start:q_start + fwd_len])
+            ft.append(m_["t"][t_start:])
+        ez2 = extz2_batch(fq, ft, self.mat_flat, self.m, self.go, self.ge,
+                          64, self.zdrop, EXTZ_ONLY)
+        # pass 3: conditional reverse re-extension with cigar
+        third = [k for k, i in enumerate(idxs)
+                 if metas[i]["ez"].max_q > ez2[k].max_q
+                 and metas[i]["ez"].max_t > ez2[k].max_t]
+        ez3 = extz2_batch(
+            [metas[idxs[k]]["q_rev"][metas[idxs[k]]["q_start_rev"]:
+                                     metas[idxs[k]]["q_start_rev"]
+                                     + metas[idxs[k]]["rev_len"]]
+             for k in third],
+            [metas[idxs[k]]["t_rev"][metas[idxs[k]]["t_start_rev"]:]
+             for k in third],
+            self.mat_flat, self.m, self.go, self.ge, 64, self.zdrop,
+            EXTZ_ONLY) if third else []
+        third_map = {k: ez3[j] for j, k in enumerate(third)}
+
+        for k, i in enumerate(idxs):
+            m_ = metas[i]
+            if k in third_map:
+                ez_aln = third_map[k]
+                cigar = list(reversed(ez_aln.cigar))
+            else:
+                ez_aln = ez2[k]
+                cigar = ez_aln.cigar
+            q, t = m_["q"], m_["t"]
+            q_start, t_start = m_["q_start"], m_["t_start"]
+            q_end = q_start + ez_aln.max_q
+            db_end = t_start + ez_aln.max_t
+            backtrace = []
+            aa_ids = 0
+            qi, ti = q_start, t_start
+            for op, length in cigar:
+                if op == 0:
+                    aa_ids += int((q[qi:qi + length]
+                                   == t[ti:ti + length]).sum())
+                    backtrace.append("M" * length)
+                    qi += length
+                    ti += length
+                elif op == 1:
+                    backtrace.append("I" * length)
+                    qi += length
+                else:
+                    backtrace.append("D" * length)
+                    ti += length
+            results[i] = self._result(ez_aln.max, q_start, q_end, t_start,
+                                      db_end, m_["qlen"], m_["tlen"],
+                                      "".join(backtrace), aa_ids, wrapped)
+        return results
 
     def _result(self, score, qs, qe, ts, te, qlen, tlen, backtrace, aa_ids,
                 wrapped=False):

@@ -335,27 +335,51 @@ def _align_nucl(par, qreader, treader, same_db):
             else:
                 aligner.init_query(q_num)
 
-            accepted = []
-            passed = 0
-            rejected = 0
+            # batch the ksw2 extensions across the query's candidates when
+            # there is no early-exit contract to honor (the defaults; the
+            # reused-buffer staleness depends on the executed sequence, so
+            # with --max-accept/--max-rejected the per-pair path is kept)
+            batch_ok = (par.max_accept >= INT_MAX
+                        and par.max_rejected >= INT_MAX)
+            pre = []
             for key, score_in, diag in zip(hit_keys, hit_scores,
                                            hit_diags):
-                if passed >= par.max_accept or rejected >= par.max_rejected:
-                    break
                 tid = treader.get_id(key)
                 if tid < 0:
                     log.die(f"Sequence {key} required by the prefilter "
                             f"result is missing from the target database")
-                t_len = tdb.seq_len(tid)
+                pre.append((key, score_in, diag, tid, tdb.seq_len(tid)))
+            batch_res = None
+            if batch_ok:
+                cand = [p for p in pre
+                        if autil.can_be_covered(par.cov_thr, par.cov_mode,
+                                                float(q_len),
+                                                float(p[4]))]
+                rlist = aligner.align_pairs(
+                    [tdb.seq_num(p[3]) for p in cand],
+                    [p[2] for p in cand],
+                    [is_rev_pref and p[1] < 0 for p in cand],
+                    wrapped=wrapped)
+                batch_res = {p[0]: r for p, r in zip(cand, rlist)}
+
+            accepted = []
+            passed = 0
+            rejected = 0
+            for key, score_in, diag, tid, t_len in pre:
+                if passed >= par.max_accept or rejected >= par.max_rejected:
+                    break
                 if not autil.can_be_covered(par.cov_thr, par.cov_mode,
                                             float(q_len), float(t_len)):
                     rejected += 1
                     continue
                 # a hit is reversed iff its prefilter score is negative
                 # in a PREFILTER_REV_RES DB (rescorediagonal.cpp:200-205)
-                res = aligner.align(tdb.seq_num(tid), diag,
-                                    is_rev_pref and score_in < 0,
-                                    wrapped=wrapped)
+                if batch_res is not None:
+                    res = batch_res[key]
+                else:
+                    res = aligner.align(tdb.seq_num(tid), diag,
+                                        is_rev_pref and score_in < 0,
+                                        wrapped=wrapped)
                 res.db_key = key
                 aln_num += 1
                 res.seq_id = float(autil.compute_seq_id(
