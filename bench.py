@@ -41,8 +41,11 @@ def bench_async(fn, args, cells, iters=30, warmup=2, trials=3):
 
 
 def _bench_kmer_prefilter(rng, n_targets=10000, t_len=350, n_queries=16):
-    """Device k-mer prefilter throughput: k-mer match expansions/s on a
-    synthetic target index (the `prefilter` engine; QueryMatcher.cpp:243)."""
+    """Device k-mer prefilter throughput: k-mer match expansions/s against
+    the cached BASELINE-shaped 50k-target index when present (realistic
+    posting-list density), else a synthetic random index (much sparser —
+    matches/s reads low there because real matches are rare)."""
+    import pathlib
     import time
 
     import numpy as np
@@ -57,23 +60,45 @@ def _bench_kmer_prefilter(rng, n_targets=10000, t_len=350, n_queries=16):
     ungapped = get_submat("blosum62.out", 2.0, -0.2)
     alpha = seed.alphabet_size - 1
 
-    _seqs = rng.integers(0, 20, size=(n_targets, t_len)).astype(np.int64)
-
-    class FakeDB:
-        size = n_targets
-
-        def seq_num(self, i):
-            return _seqs[i]
-
     k, thr = 6, 112
-    table = build_index(FakeDB(), seed, k, thr, False, 0.9, False, True, "")
+    table = None
+    idx = (pathlib.Path(__file__).parent / ".bench_cache" / "scale_50k"
+           / "tdb.idx")
+    if idx.exists():
+        try:
+            from mmseqs2_tpu.prefilter.index_io import load_index
+            cand, meta = load_index(str(idx))
+            if cand.k == k and meta.get("kmer_thr") == thr:
+                table = cand
+        except Exception:
+            table = None
+    if table is None:
+        _seqs = rng.integers(0, 20, size=(n_targets, t_len)).astype(
+            np.int64)
+
+        class FakeDB:
+            size = n_targets
+
+            def seq_num(self, i):
+                return _seqs[i]
+
+        table = build_index(FakeDB(), seed, k, thr, False, 0.9, False,
+                            True, "")
     three = SubKmerScores(seed.sub_matrix, alpha, 3)
     two = SubKmerScores(seed.sub_matrix, alpha, 2)
     gen = KmerGenerator(k, alpha, three, two)
     dev = DevicePrefilter(table, seed, ungapped, thr, k, 300,
                           generator=gen)
-    queries = [rng.integers(0, 20, size=t_len).astype(np.int64)
-               for _ in range(n_queries)]
+    # queries = mutated copies of random targets (realistic hit density)
+    queries = []
+    for _ in range(n_queries):
+        s = np.asarray(table.masked_seqs[
+            int(rng.integers(len(table.masked_seqs)))]).astype(np.int64)
+        s = s[:t_len] if len(s) > t_len else s
+        mut = rng.random(len(s)) < 0.25
+        s = s.copy()
+        s[mut] = rng.integers(0, 20, size=int(mut.sum()))
+        queries.append(s)
     idents = [-1] * n_queries
     # count match expansions = sum of posting-list lengths hit per query
     total_matches = 0

@@ -238,11 +238,22 @@ class Aligner:
             per_results.append(results)
             per_sw.append(sw_idx)
             lqb = ctx.profile.shape[1]
+            # queries with >= 8 same-bucket targets get their OWN group:
+            # single-profile groups take the fast Pallas kernel, while the
+            # stacked dp.sw_scan path is kept only for small leftovers
+            # (mixing everything into multi-profile groups moved the bulk
+            # of the cells off the Pallas kernel and was ~10x slower)
+            cnt = {}
             for i in sw_idx:
+                ltb = bucket_length(max(len(seqs[i]), 1))
+                cnt[ltb] = cnt.get(ltb, 0) + 1
+            for i in sw_idx:
+                ltb = bucket_length(max(len(seqs[i]), 1))
+                key = ((j, ltb) if cnt[ltb] >= 8
+                       else ("mix", lqb, ltb))
                 g = fwd_groups.setdefault(
-                    (lqb, bucket_length(max(len(seqs[i]), 1))),
-                    {"profs": [], "slot": {}, "qidx": [], "tl": [],
-                     "ref": []})
+                    key, {"profs": [], "slot": {}, "qidx": [], "tl": [],
+                          "ref": []})
                 if j not in g["slot"]:
                     g["slot"][j] = len(g["profs"])
                     g["profs"].append(ctx.profile)

@@ -19,15 +19,18 @@ import numpy as np
 
 
 def bucket_length(n: int, minimum: int = 32) -> int:
-    """Round length up to a compile-friendly bucket: powers of two below 256,
-    then multiples of 128. Bounds the number of distinct jit shapes."""
+    """Round length up to the next power of two.
+
+    Pure powers of two keep the distinct-jit-shape count LOW: on the TPU
+    runtime each new shape pays ~1.5s of tracing plus a remote compile, so
+    at real-data length spreads a finer bucketing (e.g. multiples of 128)
+    costs minutes of compiles to save <2x padded cells — a bad trade, the
+    padded columns are nearly free."""
     n = max(int(n), 1)
     b = minimum
-    while b < n and b < 256:
+    while b < n:
         b *= 2
-    if b >= n:
-        return b
-    return ((n + 127) // 128) * 128
+    return b
 
 
 def pad_batch(seqs, pad_value: int, length: int = None):

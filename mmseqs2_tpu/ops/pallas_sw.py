@@ -10,8 +10,10 @@ Rationale (measured, experiments/sw_v4.py):
     column — score-tile traffic is the only per-cell VMEM cost;
   - per-call dispatch overhead through the runtime is ~25ms, so callers
     should batch large and measure with async dispatch (see bench.py).
-Measured on TPU v5e (batch 4096, Lq=Lt=512): ~142 GCUPS gapped score-only,
-~346 GCUPS gapless score-only, ~6x the round-1 lane-layout kernel.
+Measured on TPU v5e (batch 16384, Lq=Lt=512, best-of-3 async trials):
+~195 GCUPS gapped with end tracking, ~215 gapped score-only, ~625 gapless
+score-only (round 3: tiled lazy-F closure + deferred gapless saturation;
+round 2 was 146/—/576, round 1's lane-layout kernel ~22).
 
 Semantics identical to dp.sw_scan / dp.gapless_scan (cross-checked in
 tests/test_pallas.py): one query profile per call, many targets; affine
@@ -74,7 +76,8 @@ def _kernel(profile_ref, tpk_ref, *refs, lq, lt, n_tiles, go, ge, unroll,
     else:
         score_ref = refs[0]
         scratch = refs[1:]
-    h_ref, e_ref, hm_ref, stile_ref, best_ref, bq_ref, bt_ref = scratch
+    (h_ref, e_ref, hm_ref, stile_ref, best_ref, bq_ref, bt_ref,
+     stage_ref) = scratch
     cell_ref = hm_ref      # packed-tracking reuses the hm scratch tile
 
     sub = jax.lax.broadcasted_iota(jnp.int32, (lq, bt), 0)
@@ -131,9 +134,8 @@ def _kernel(profile_ref, tpk_ref, *refs, lq, lt, n_tiles, go, ge, unroll,
             diag = _shift_sub(h, jnp.float32(-ge)) + s   # s has +ge folded
             e = jnp.maximum(h - go_f, e_ref[:] - ge_f)
             hng = jnp.maximum(ramp, jnp.maximum(diag, e))
-            carry = jnp.full((1, bt), jnp.float32(NEG))
-            for k in range(n_ftiles):
-                hng_k = hng[k * F_TILE:(k + 1) * F_TILE]
+
+            def ftile(hng_k, carry):
                 run = hng_k
                 for l in range(nlev):
                     rolled = pltpu.roll(run, 1 << l, axis=0)
@@ -145,9 +147,28 @@ def _kernel(profile_ref, tpk_ref, *refs, lq, lt, n_tiles, go, ge, unroll,
                 fsh = pltpu.roll(run, 1, axis=0)
                 fsh = jnp.where(first_t,
                                 jnp.broadcast_to(carry, (F_TILE, bt)), fsh)
-                carry = run[F_TILE - 1:F_TILE]
-                h_ref[pl.ds(k * F_TILE, F_TILE)] = jnp.maximum(
-                    hng_k, fsh - goge)
+                return (jnp.maximum(hng_k, fsh - goge),
+                        run[F_TILE - 1:F_TILE])
+
+            carry0 = jnp.full((1, bt), jnp.float32(NEG))
+            if n_ftiles <= 16:     # small query: fully unrolled
+                carry = carry0
+                for k in range(n_ftiles):
+                    hnew_k, carry = ftile(
+                        hng[k * F_TILE:(k + 1) * F_TILE], carry)
+                    h_ref[pl.ds(k * F_TILE, F_TILE)] = hnew_k
+            else:
+                # long query: one compiled tile body (an unrolled chain of
+                # hundreds of tiles explodes Mosaic compile time)
+                stage_ref[:] = hng   # stage hng where the loop can slice it
+
+                def fbody(k, carry):
+                    hnew_k, carry = ftile(
+                        stage_ref[pl.ds(k * F_TILE, F_TILE)], carry)
+                    h_ref[pl.ds(k * F_TILE, F_TILE)] = hnew_k
+                    return carry
+
+                jax.lax.fori_loop(0, n_ftiles, fbody, carry0)
             e_ref[:] = e
             htrue = h_ref[:] - ramp
         if track and pack:
@@ -257,6 +278,7 @@ def _sw_call(prof_t, targets_t, *, go, ge, gapless, cap, track, pack,
             pltpu.VMEM((1, bt), jnp.float32),
             pltpu.VMEM((1, bt), jnp.int32),
             pltpu.VMEM((1, bt), jnp.int32),
+            pltpu.VMEM((lq, bt), jnp.float32),
         ],
         interpret=interpret,
     )(prof_t, tpk)
@@ -268,7 +290,10 @@ def _sw_call(prof_t, targets_t, *, go, ge, gapless, cap, track, pack,
 def _prep(profile, targets_t, ge, gapless, bt, unroll):
     targets_t = jnp.asarray(targets_t)
     lt, b = targets_t.shape
-    eff_bt = bt if b >= bt else max(8, 1 << int(np.ceil(np.log2(max(b, 8)))))
+    # ALWAYS pad the batch to the full BT block: padded columns are nearly
+    # free on device, while per-size shapes would each pay a fresh compile
+    # (hundreds of seconds through the runtime tunnel at scale)
+    eff_bt = bt
     profile = jnp.asarray(profile).astype(jnp.float32)
     prof_t = profile.T if gapless else (profile + jnp.float32(ge)).T
     return prof_t, targets_t, lt, b, eff_bt

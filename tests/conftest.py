@@ -89,12 +89,34 @@ def query_fasta():
 def _clear_jax_caches_per_module():
     """Free compiled executables between test modules: the full suite
     compiles hundreds of kernel variants and the accumulated CPU-backend
-    memory can segfault late tests (seen in test_sharded_prefilter after
-    ~92% of the suite)."""
+    memory can segfault late tests (an XLA:CPU crash inside
+    backend_compile_and_load once enough live executables pile up; with
+    the persistent disk cache the re-compiles after clearing are cheap)."""
     yield
     try:
+        import gc
+
         import jax
 
         jax.clear_caches()
+        gc.collect()
     except Exception:
         pass
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_heavy(request):
+    """Per-TEST cache clearing for the heaviest parity modules — the
+    segfault reproduced at a fixed position inside test_parity_toy when
+    run after ~170 other tests."""
+    yield
+    if request.node.fspath and "parity_toy" in str(request.node.fspath):
+        try:
+            import gc
+
+            import jax
+
+            jax.clear_caches()
+            gc.collect()
+        except Exception:
+            pass
