@@ -175,18 +175,20 @@ class Aligner:
                                   go=self.go, ge=self.ge)
             return np.asarray(s), np.asarray(qe), np.asarray(te)
         Lt = bucket_length(max(len(t) for t in t_list))
-        Bp = 1
+        # coarse x4 batch buckets: every distinct (Bp, nqp, lq, Lt) combo
+        # pays a trace + compile on the TPU runtime, so keep the grid tiny
+        Bp = 32
         while Bp < n:
-            Bp *= 2
+            Bp *= 4
         tb = np.full((Bp, Lt), PAD_LETTER, dtype=np.int32)
         for r, t in enumerate(t_list):
             tb[r, : len(t)] = t
         qp = np.zeros(Bp, np.int32)
         qp[:n] = qidx
         nq = profiles.shape[0]
-        nqp = 1
+        nqp = 32
         while nqp < nq:
-            nqp *= 2
+            nqp *= 4
         if nqp != nq:
             profiles = np.concatenate(
                 [profiles, np.zeros((nqp - nq,) + profiles.shape[1:],
@@ -271,7 +273,9 @@ class Aligner:
                 fwd[ref] = (int(s[k]), int(qe[k]), int(te[k]))
 
         # 2. gates; collect reverse-pass work across all jobs
-        rev_profiles, rev_targets, rev_ref = [], [], []
+        use_pallas = self._use_pallas()
+        rev_targets, rev_ref, rev_qe = [], [], []
+        rev_profiles = []          # dp.sw_scan fallback path only
         for j, (ctx, keys, seqs, lens, ident) in enumerate(jobs):
             qL = len(ctx.q_num)
             for i in per_sw[j]:
@@ -297,29 +301,66 @@ class Aligner:
                                                 res.qcov, res.dbcov)
                 if ev > eval_thr or low_cov:
                     continue  # ssw_align_private early return (mode 1, 2)
-                rev = ctx.profile[:, : qe + 1][:, ::-1]
-                pad = bucket_length(qe + 1) - rev.shape[1]
-                if pad:
-                    rev = np.pad(rev, ((0, 0), (0, pad)),
-                                 constant_values=-(1 << 20))
-                rev_profiles.append(np.ascontiguousarray(rev))
+                if not use_pallas:
+                    rev = ctx.profile[:, : qe + 1][:, ::-1]
+                    pad = bucket_length(qe + 1) - rev.shape[1]
+                    if pad:
+                        rev = np.pad(rev, ((0, 0), (0, pad)),
+                                     constant_values=-(1 << 20))
+                    rev_profiles.append(np.ascontiguousarray(rev))
                 rev_targets.append(seqs[i][: te + 1][::-1].copy())
+                rev_qe.append(qe)
                 rev_ref.append((j, i))
 
-        # 3. reverse pass -> start positions, grouped by shape
-        rev_groups = {}
-        for k in range(len(rev_ref)):
-            key = (rev_profiles[k].shape[1],
-                   bucket_length(max(len(rev_targets[k]), 1)))
-            rev_groups.setdefault(key, []).append(k)
+        # 3. reverse pass -> start positions. On device: per-query groups
+        # through the offset-masked Pallas kernel (each pair's reversed
+        # query prefix is a SUFFIX of the query's reversed profile, so one
+        # shared profile + per-lane qoff replaces per-pair profile stacks
+        # and the ~17x-slower dp.sw_scan).
         rev_out = {}
-        for idxs in rev_groups.values():
-            rs, rqe, rte = self._batch_scan(
-                np.stack([rev_profiles[k] for k in idxs]),
-                np.arange(len(idxs), dtype=np.int32),
-                [rev_targets[k] for k in idxs])
-            for m, k in enumerate(idxs):
-                rev_out[k] = (int(rs[m]), int(rqe[m]), int(rte[m]))
+        if use_pallas:
+            from ..ops.pallas_sw import sw_pallas_offset
+            rev_groups = {}
+            for k, (j, i) in enumerate(rev_ref):
+                key = (j, bucket_length(max(len(rev_targets[k]), 1)))
+                rev_groups.setdefault(key, []).append(k)
+            for (j, ltb), idxs in rev_groups.items():
+                ctx = jobs[j][0]
+                lqb = ctx.profile.shape[1]
+                rev_full = np.ascontiguousarray(ctx.profile[:, ::-1])
+                for c0 in range(0, len(idxs), 512):
+                    part = idxs[c0:c0 + 512]
+                    n = len(part)
+                    tb = np.full((ltb, n), PAD_LETTER, np.int32)
+                    qoff = np.zeros(n, np.int32)
+                    for c, k in enumerate(part):
+                        t = rev_targets[k]
+                        tb[: len(t), c] = t
+                        qoff[c] = lqb - 1 - rev_qe[k]
+                    rs, rqe2, rte2 = sw_pallas_offset(
+                        rev_full, tb, qoff, go=self.go, ge=self.ge)
+                    for c, k in enumerate(part):
+                        rev_out[k] = (int(rs[c]),
+                                      int(rqe2[c]) - int(qoff[c]),
+                                      int(rte2[c]))
+        else:
+            rev_groups = {}
+            for k in range(len(rev_ref)):
+                key = (rev_profiles[k].shape[1],
+                       bucket_length(max(len(rev_targets[k]), 1)))
+                rev_groups.setdefault(key, []).append(k)
+            for idxs in rev_groups.values():
+                # chunked: the per-pair profile stack is (NP, A, lq) and
+                # would otherwise reach hundreds of MB per transfer
+                for c0 in range(0, len(idxs), 256):
+                    part = idxs[c0:c0 + 256]
+                    rs, rqe2, rte2 = self._batch_scan(
+                        np.stack([rev_profiles[k] for k in part]),
+                        np.arange(len(part), dtype=np.int32),
+                        [rev_targets[k] for k in part])
+                    for m, k in enumerate(part):
+                        rev_out[k] = (int(rs[m]), int(rqe2[m]),
+                                      int(rte2[m]))
 
         for k, (j, i) in enumerate(rev_ref):
             ctx, keys, seqs, lens, ident = jobs[j]

@@ -69,7 +69,9 @@ def _shift_sub(x, fill):
 
 
 def _kernel(profile_ref, tpk_ref, *refs, lq, lt, n_tiles, go, ge, unroll,
-            bt, gapless, cap, track, pack):
+            bt, gapless, cap, track, pack, offset):
+    if offset:
+        qoff_ref, refs = refs[0], refs[1:]
     if track:
         score_ref, qend_ref, tend_ref = refs[:3]
         scratch = refs[3:]
@@ -114,8 +116,21 @@ def _kernel(profile_ref, tpk_ref, *refs, lq, lt, n_tiles, go, ge, unroll,
         bq_ref[:] = jnp.full_like(bq_ref, lq - 1)
         bt_ref[:] = jnp.full_like(bt_ref, -1)
 
+    if offset:
+        # per-lane query start offset: rows < qoff[b] are masked out of
+        # the lane's substitution scores, which confines its alignment to
+        # the query SUFFIX starting at qoff[b] (exact: the zero floor /
+        # ramp boundary makes row qoff[b] behave like row 0). Used by the
+        # reverse start-position pass, whose per-pair reversed query
+        # prefixes are suffixes of ONE shared reversed profile.
+        offmask = jnp.where(
+            sub >= jnp.broadcast_to(qoff_ref[:], (lq, bt)),
+            jnp.float32(0), jnp.float32(NEG))
+
     def column(j, s):
         """One DP column; s is the (Lq, BT) substitution slice."""
+        if offset:
+            s = s + offmask
         if gapless:
             h = _shift_sub(h_ref[:], jnp.float32(0)) + s
             if track:
@@ -241,29 +256,38 @@ def _kernel(profile_ref, tpk_ref, *refs, lq, lt, n_tiles, go, ge, unroll,
 @functools.partial(jax.jit, static_argnames=(
     "go", "ge", "gapless", "cap", "track", "pack", "unroll", "bt",
     "interpret"))
-def _sw_call(prof_t, targets_t, *, go, ge, gapless, cap, track, pack,
-             unroll, bt, interpret):
+def _sw_call(prof_t, targets_t, qoff=None, *, go, ge, gapless, cap, track,
+             pack, unroll, bt, interpret):
     lq, alpha = prof_t.shape
     lt = targets_t.shape[0]
     tpk = pack_targets(targets_t, bt, unroll)
     nb, n_tiles, ub = tpk.shape
+    offset = qoff is not None
     kernel = functools.partial(
         _kernel, lq=lq, lt=lt, n_tiles=n_tiles, go=go, ge=ge,
         unroll=unroll, bt=bt, gapless=gapless, cap=cap, track=track,
-        pack=pack)
+        pack=pack, offset=offset)
     out_shape = [jax.ShapeDtypeStruct((nb * 8, bt), jnp.int32)] * (
         3 if track else 1)
     out_specs = [pl.BlockSpec((8, bt), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)] * (3 if track else 1)
+    in_specs = [
+        pl.BlockSpec((lq, alpha), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_tiles, ub), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [prof_t, tpk]
+    if offset:
+        qpad = jnp.zeros((nb * bt,), jnp.int32).at[
+            :qoff.shape[0]].set(qoff).reshape(nb, bt)
+        in_specs.append(pl.BlockSpec((1, bt), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(qpad)
     outs = pl.pallas_call(
         kernel,
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((lq, alpha), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_tiles, ub), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         # long query buckets (Lq >= 4k) exceed the default 16M scoped-vmem
@@ -281,7 +305,7 @@ def _sw_call(prof_t, targets_t, *, go, ge, gapless, cap, track, pack,
             pltpu.VMEM((lq, bt), jnp.float32),
         ],
         interpret=interpret,
-    )(prof_t, tpk)
+    )(*args)
     if not isinstance(outs, (list, tuple)):
         outs = [outs]
     return [o.reshape(nb, 8, bt)[:, 0, :].reshape(-1) for o in outs]
@@ -320,6 +344,30 @@ def sw_pallas(profile, targets_t, go=11, ge=1, gapless=False, cap=255,
     s, qe, te = _sw_call(prof_t, tpk, go=go, ge=ge, gapless=gapless,
                          cap=cap, track=True, pack=pack, unroll=DEFAULT_U,
                          bt=eff_bt, interpret=interpret)
+    return s[:b], qe[:b], te[:b]
+
+
+def sw_pallas_offset(profile, targets_t, qoff, go=11, ge=1, cap=255,
+                     interpret=False):
+    """sw_pallas with a per-target-lane query START offset.
+
+    Lane b's alignment is confined to profile columns >= qoff[b] (exact
+    fresh-start boundary at qoff[b]). The reverse start-position pass uses
+    this with the query's full reversed profile: each pair's reversed
+    query prefix q[:qe+1][::-1] is the suffix of the reversed profile
+    starting at (Lq_padded - 1 - qe). Reported qend is in full-profile
+    coordinates (subtract qoff host-side)."""
+    import numpy as _np
+    lq = _np.asarray(profile).shape[1]
+    lt = _np.asarray(targets_t).shape[0]
+    bound = int(_np.asarray(profile).max()) * lq
+    pack = 0 <= bound < (1 << 24) // _pk_for(lt) - 1
+    prof_t, tpk, lt, b, eff_bt = _prep(profile, targets_t, ge, False,
+                                       DEFAULT_BT, DEFAULT_U)
+    s, qe, te = _sw_call(prof_t, tpk, jnp.asarray(qoff, jnp.int32),
+                         go=go, ge=ge, gapless=False, cap=cap, track=True,
+                         pack=pack, unroll=DEFAULT_U, bt=eff_bt,
+                         interpret=interpret)
     return s[:b], qe[:b], te[:b]
 
 
