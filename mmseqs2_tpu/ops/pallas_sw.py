@@ -101,8 +101,17 @@ def _kernel(profile_ref, tpk_ref, *refs, lq, lt, n_tiles, go, ge, unroll,
         ramp = subf * ge_f
         # tiled lazy-F closure (experiments/sw_v9_tiled.py, +34% vs the
         # full-height cummax): local log2(F_TILE)-level scan per F_TILE-row
-        # tile + a sequential (1, BT) carry chain across tiles
-        F_TILE = 8 if lq % 8 == 0 and lq >= 16 else lq
+        # tile + a sequential (1, BT) carry chain across tiles. F_TILE
+        # grows with Lq so the fully-unrolled chain stays <=64 tiles —
+        # unrolled is ~2.3x faster than a lax.fori_loop body (dynamic
+        # sublane slices), while >64 unrolled tiles explodes Mosaic
+        # compile time (the Lq=2048 blow-up was 256 unrolled tiles).
+        if lq % 8 == 0 and lq >= 16:
+            F_TILE = 8
+            while lq // F_TILE > 64 and lq % (F_TILE * 2) == 0:
+                F_TILE *= 2
+        else:
+            F_TILE = lq
         n_ftiles = lq // F_TILE
         nlev = max(1, (F_TILE - 1).bit_length())
         subt = jax.lax.broadcasted_iota(jnp.int32, (F_TILE, bt), 0)
@@ -166,15 +175,14 @@ def _kernel(profile_ref, tpk_ref, *refs, lq, lt, n_tiles, go, ge, unroll,
                         run[F_TILE - 1:F_TILE])
 
             carry0 = jnp.full((1, bt), jnp.float32(NEG))
-            if n_ftiles <= 16:     # small query: fully unrolled
-                carry = carry0
+            if n_ftiles <= 64:     # fully unrolled (F_TILE scaling keeps
+                carry = carry0     # every power-of-two Lq on this path)
                 for k in range(n_ftiles):
                     hnew_k, carry = ftile(
                         hng[k * F_TILE:(k + 1) * F_TILE], carry)
                     h_ref[pl.ds(k * F_TILE, F_TILE)] = hnew_k
             else:
-                # long query: one compiled tile body (an unrolled chain of
-                # hundreds of tiles explodes Mosaic compile time)
+                # odd non-power-of-two Lq fallback: one compiled tile body
                 stage_ref[:] = hng   # stage hng where the loop can slice it
 
                 def fbody(k, carry):
@@ -314,9 +322,17 @@ def _sw_call(prof_t, targets_t, qoff=None, *, go, ge, gapless, cap, track,
 def _prep(profile, targets_t, ge, gapless, bt, unroll):
     targets_t = jnp.asarray(targets_t)
     lt, b = targets_t.shape
-    # ALWAYS pad the batch to the full BT block: padded columns are nearly
-    # free on device, while per-size shapes would each pay a fresh compile
-    # (hundreds of seconds through the runtime tunnel at scale)
+    # ALWAYS pad the batch to a multiple of the full BT block BEFORE the
+    # jit call: the jitted program's input signature then depends only on
+    # (Lq bucket, Lt bucket, ceil(b/BT)), not on the raw candidate count —
+    # per-size shapes each paid a fresh compile (tens of seconds through
+    # the runtime tunnel; an align stage was observed compiling 100+
+    # variants purely from varying batch sizes). Padded lanes replicate
+    # column 0 and are sliced away by the caller.
+    nb = -(-b // bt)
+    if nb * bt != b:
+        targets_t = jnp.pad(targets_t, ((0, 0), (0, nb * bt - b)),
+                            mode="edge")
     eff_bt = bt
     profile = jnp.asarray(profile).astype(jnp.float32)
     prof_t = profile.T if gapless else (profile + jnp.float32(ge)).T
@@ -364,7 +380,11 @@ def sw_pallas_offset(profile, targets_t, qoff, go=11, ge=1, cap=255,
     pack = 0 <= bound < (1 << 24) // _pk_for(lt) - 1
     prof_t, tpk, lt, b, eff_bt = _prep(profile, targets_t, ge, False,
                                        DEFAULT_BT, DEFAULT_U)
-    s, qe, te = _sw_call(prof_t, tpk, jnp.asarray(qoff, jnp.int32),
+    qoff = jnp.asarray(qoff, jnp.int32)
+    bp = tpk.shape[1]
+    if qoff.shape[0] != bp:       # match the padded batch (one jit shape)
+        qoff = jnp.pad(qoff, (0, bp - qoff.shape[0]))
+    s, qe, te = _sw_call(prof_t, tpk, qoff,
                          go=go, ge=ge, gapless=False, cap=cap, track=True,
                          pack=pack, unroll=DEFAULT_U, bt=eff_bt,
                          interpret=interpret)
