@@ -66,6 +66,13 @@ class QueryContext:
     bias: int                   # |min(mat)| + |min(comp bias)|  (gapless cap)
 
 
+def _lane_pad(n: int) -> int:
+    """Canonical lane counts: 512 (one BT block, small/toy runs) or 4096
+    (eight blocks, bulk runs) — exactly two batch shapes per length bucket
+    instead of one compile per candidate-count."""
+    return 512 if n <= 512 else 4096
+
+
 def sort_results(results):
     """Matcher::compareHits: eval asc, bit score desc, dbLen asc, key asc."""
     results.sort(key=lambda r: (r.eval, -r.score, r.db_len, r.db_key))
@@ -92,6 +99,15 @@ class Aligner:
 
     # -- query setup ---------------------------------------------------------
 
+    def _bucket_min(self) -> int:
+        """Minimum length bucket. On TPU every distinct jitted shape pays
+        ~3s of per-process overhead (Mosaic lowering + remote executable
+        load through the runtime tunnel) even on a persistent-cache hit, so
+        buckets are clamped to >= 512: short queries/targets pad into ONE
+        canonical shape and the padded cells (microseconds of device time)
+        replace whole seconds of per-shape fixed cost."""
+        return 512 if self._use_pallas() else 32
+
     def init_query(self, q_num: np.ndarray) -> QueryContext:
         if self.comp_bias_corr:
             cb = calc_local_aa_bias(q_num, self.mat, self.submat.pback,
@@ -102,8 +118,9 @@ class Aligner:
             cb_i8 = np.zeros(len(q_num), dtype=np.int8)
             comp_bias_min = 0
         bias = abs(self.mat_min) + abs(comp_bias_min)
-        profile = make_query_profile(q_num, self.mat, cb_i8,
-                                     alpha_pad=ALPHA_PAD)
+        profile = make_query_profile(
+            q_num, self.mat, cb_i8, alpha_pad=ALPHA_PAD,
+            pad_len=bucket_length(len(q_num), self._bucket_min()))
         return QueryContext(q_num, cb_i8, profile, bias)
 
     def init_profile_query(self, prof_entry) -> QueryContext:
@@ -119,7 +136,7 @@ class Aligner:
         prof = alignment_profile(prof_entry, alpha_pad=ALPHA_PAD,
                                  alphabet_size=self.submat.alphabet_size)
         bias = abs(min(0, int(prof[:20, :L].min()))) if L else 0
-        pad = bucket_length(L) - L
+        pad = bucket_length(L, self._bucket_min()) - L
         if pad:
             prof = np.pad(prof, ((0, 0), (0, pad)),
                           constant_values=-(1 << 20))
@@ -197,6 +214,73 @@ class Aligner:
                                jnp.asarray(tb), self.go, self.ge)
         return (np.asarray(s)[:n], np.asarray(qe)[:n], np.asarray(te)[:n])
 
+    # -- multi-query fixed-shape scan (TPU) -----------------------------------
+
+    MULTI_NQ = 16          # query profiles stacked per kernel call
+    MULTI_LANES = 4096     # target lanes per kernel call (8 x BT blocks)
+
+    def _multi_scan(self, entries):
+        """Scan (query, target) pairs through the multi-query Pallas kernel.
+
+        entries: list of (ref, qkey, profile (A, lqb) int32, target_seq,
+        qoff). Pairs are grouped by (query-length bucket, target-length
+        bucket), chunked to <= MULTI_NQ distinct profiles and MULTI_LANES
+        lanes, and every chunk is padded to the SAME canonical shape — so a
+        whole align stage compiles O(#length-buckets) programs instead of
+        one per (query, batch-size) combination, and dispatches all chunks
+        asynchronously before the first synchronizing read-back.
+
+        Returns {ref: (score, qend, tend)} (qend in full-profile
+        coordinates; callers subtract qoff for the reverse pass)."""
+        from ..ops.pallas_sw import sw_pallas_multi
+        LANES = self.MULTI_LANES
+        groups = {}
+        for e in entries:
+            key = (e[2].shape[1],
+                   bucket_length(max(len(e[3]), 1), self._bucket_min()))
+            groups.setdefault(key, []).append(e)
+        pending = []
+        for (lqb, ltb), items in groups.items():
+            # NQ shrinks with query length: the stacked profile costs
+            # nq*A MACs/cell on the MXU and (lqb, nq*A) VMEM; long-query
+            # buckets are rare and stay effectively per-query
+            NQ = (self.MULTI_NQ if lqb <= 1024
+                  else 8 if lqb <= 2048 else 1)
+            i = 0
+            while i < len(items):
+                profs, slot, refs = [], {}, []
+                tb = np.full((ltb, LANES), PAD_LETTER, np.int8)
+                qsel = np.zeros(LANES, np.int32)
+                qoffs = np.zeros(LANES, np.int32)
+                lane = 0
+                while i < len(items) and lane < LANES:
+                    ref, qkey, prof, seq, qo = items[i]
+                    if qkey not in slot:
+                        if len(profs) == NQ:
+                            break
+                        slot[qkey] = len(profs)
+                        profs.append(prof)
+                    tb[: len(seq), lane] = seq
+                    qsel[lane] = slot[qkey]
+                    qoffs[lane] = qo
+                    refs.append(ref)
+                    lane += 1
+                    i += 1
+                lanes_used = lane
+                pf = np.full((NQ * ALPHA_PAD, lqb), -(1 << 20), np.int32)
+                pf[: len(profs) * ALPHA_PAD] = np.concatenate(profs, axis=0)
+                out = sw_pallas_multi(pf, tb[:, :_lane_pad(lanes_used)],
+                                      qsel[:_lane_pad(lanes_used)],
+                                      qoff=qoffs[:_lane_pad(lanes_used)],
+                                      go=self.go, ge=self.ge)
+                pending.append((refs, out))
+        result = {}
+        for refs, (s, qe, te) in pending:
+            s, qe, te = np.asarray(s), np.asarray(qe), np.asarray(te)
+            for lane, ref in enumerate(refs):
+                result[ref] = (int(s[lane]), int(qe[lane]), int(te[lane]))
+        return result
+
     # -- main entry -----------------------------------------------------------
 
     def align_query(self, ctx: QueryContext, target_keys, target_seqs,
@@ -223,9 +307,11 @@ class Aligner:
         the per-call dispatch latency and per-shape trace cost dominated
         the align stage wall time at scale. Returns per-job AlnResult
         lists in input order; semantics identical to align_query."""
+        use_pallas = self._use_pallas()
         per_results = []
         per_sw = []
         fwd_groups = {}
+        fwd_entries = []
         for j, (ctx, keys, seqs, lens, ident) in enumerate(jobs):
             results = [None] * len(keys)
             sw_idx = []
@@ -240,11 +326,15 @@ class Aligner:
             per_results.append(results)
             per_sw.append(sw_idx)
             lqb = ctx.profile.shape[1]
-            # queries with >= 8 same-bucket targets get their OWN group:
-            # single-profile groups take the fast Pallas kernel, while the
-            # stacked dp.sw_scan path is kept only for small leftovers
-            # (mixing everything into multi-profile groups moved the bulk
-            # of the cells off the Pallas kernel and was ~10x slower)
+            if use_pallas:
+                # TPU: every pair goes through the multi-query kernel —
+                # one canonical shape per (Lq, Lt) bucket pair
+                for i in sw_idx:
+                    fwd_entries.append(
+                        ((j, i), j, ctx.profile, seqs[i], 0))
+                continue
+            # CPU fallback: queries with >= 8 same-bucket targets get
+            # their own group; small leftovers share stacked dp.sw_scan
             cnt = {}
             for i in sw_idx:
                 ltb = bucket_length(max(len(seqs[i]), 1))
@@ -264,16 +354,18 @@ class Aligner:
                 g["ref"].append((j, i))
 
         # 1. forward: score + end positions, one scan per shape group
-        fwd = {}
-        for g in fwd_groups.values():
-            s, qe, te = self._batch_scan(
-                np.stack(g["profs"]), np.array(g["qidx"], np.int32),
-                g["tl"])
-            for k, ref in enumerate(g["ref"]):
-                fwd[ref] = (int(s[k]), int(qe[k]), int(te[k]))
+        if use_pallas:
+            fwd = self._multi_scan(fwd_entries)
+        else:
+            fwd = {}
+            for g in fwd_groups.values():
+                s, qe, te = self._batch_scan(
+                    np.stack(g["profs"]), np.array(g["qidx"], np.int32),
+                    g["tl"])
+                for k, ref in enumerate(g["ref"]):
+                    fwd[ref] = (int(s[k]), int(qe[k]), int(te[k]))
 
         # 2. gates; collect reverse-pass work across all jobs
-        use_pallas = self._use_pallas()
         rev_targets, rev_ref, rev_qe = [], [], []
         rev_profiles = []          # dp.sw_scan fallback path only
         for j, (ctx, keys, seqs, lens, ident) in enumerate(jobs):
@@ -319,30 +411,20 @@ class Aligner:
         # and the ~17x-slower dp.sw_scan).
         rev_out = {}
         if use_pallas:
-            from ..ops.pallas_sw import sw_pallas_offset
-            rev_groups = {}
+            rev_entries = []
+            rev_prof = {}
+            rev_qoff = {}
             for k, (j, i) in enumerate(rev_ref):
-                key = (j, bucket_length(max(len(rev_targets[k]), 1)))
-                rev_groups.setdefault(key, []).append(k)
-            for (j, ltb), idxs in rev_groups.items():
                 ctx = jobs[j][0]
-                lqb = ctx.profile.shape[1]
-                rev_full = np.ascontiguousarray(ctx.profile[:, ::-1])
-                for c0 in range(0, len(idxs), 512):
-                    part = idxs[c0:c0 + 512]
-                    n = len(part)
-                    tb = np.full((ltb, n), PAD_LETTER, np.int32)
-                    qoff = np.zeros(n, np.int32)
-                    for c, k in enumerate(part):
-                        t = rev_targets[k]
-                        tb[: len(t), c] = t
-                        qoff[c] = lqb - 1 - rev_qe[k]
-                    rs, rqe2, rte2 = sw_pallas_offset(
-                        rev_full, tb, qoff, go=self.go, ge=self.ge)
-                    for c, k in enumerate(part):
-                        rev_out[k] = (int(rs[c]),
-                                      int(rqe2[c]) - int(qoff[c]),
-                                      int(rte2[c]))
+                if j not in rev_prof:
+                    rev_prof[j] = np.ascontiguousarray(ctx.profile[:, ::-1])
+                qoff = ctx.profile.shape[1] - 1 - rev_qe[k]
+                rev_qoff[k] = qoff
+                rev_entries.append((k, j, rev_prof[j], rev_targets[k],
+                                    qoff))
+            for k, (rs, rqe2, rte2) in self._multi_scan(
+                    rev_entries).items():
+                rev_out[k] = (rs, rqe2 - rev_qoff[k], rte2)
         else:
             rev_groups = {}
             for k in range(len(rev_ref)):

@@ -191,6 +191,24 @@ class DBReader:
         return self._read_span(int(self.offsets[idx]),
                                int(self.lengths[idx]))
 
+    def get_data_view(self, idx: int) -> memoryview:
+        """Zero-copy memoryview of an entry payload, backed by the mmap.
+
+        Pages fault in lazily on first touch, so np.frombuffer over this
+        view makes loading a multi-hundred-MB prebuilt index (.idx)
+        effectively free until the buffers are actually read. The view is
+        only valid while the reader stays open — callers that outlive the
+        reader must keep a reference to it (load_index does)."""
+        offset = int(self.offsets[idx])
+        length = int(self.lengths[idx])
+        fi = int(np.searchsorted(self._file_starts, offset,
+                                 side="right")) - 1
+        local = offset - int(self._file_starts[fi])
+        m = self._maps[fi]
+        if local + length <= len(m):
+            return memoryview(m)[local:local + length]
+        return memoryview(self._read_span(offset, length))
+
     def get_seq(self, idx: int) -> bytes:
         """Sequence bytes without trailing newline/terminator."""
         d = self.get_data(idx)

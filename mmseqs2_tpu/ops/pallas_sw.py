@@ -69,7 +69,9 @@ def _shift_sub(x, fill):
 
 
 def _kernel(profile_ref, tpk_ref, *refs, lq, lt, n_tiles, go, ge, unroll,
-            bt, gapless, cap, track, pack, offset):
+            bt, gapless, cap, track, pack, offset, nq=1):
+    if nq > 1:
+        qsel_ref, refs = refs[0], refs[1:]
     if offset:
         qoff_ref, refs = refs[0], refs[1:]
     if track:
@@ -133,7 +135,7 @@ def _kernel(profile_ref, tpk_ref, *refs, lq, lt, n_tiles, go, ge, unroll,
         # reverse start-position pass, whose per-pair reversed query
         # prefixes are suffixes of ONE shared reversed profile.
         offmask = jnp.where(
-            sub >= jnp.broadcast_to(qoff_ref[:], (lq, bt)),
+            sub >= jnp.broadcast_to(qoff_ref[0], (lq, bt)),
             jnp.float32(0), jnp.float32(NEG))
 
     def column(j, s):
@@ -213,7 +215,13 @@ def _kernel(profile_ref, tpk_ref, *refs, lq, lt, n_tiles, go, ge, unroll,
             hm_ref[:] = jnp.maximum(hm_ref[:], htrue)
 
     def stile_for(t):
-        chars = tpk_ref[0, t, :]
+        chars = tpk_ref[0, t, :].astype(jnp.int32)
+        if nq > 1:
+            # multi-query: per-lane query select. prof is (Lq, nq*A) with
+            # query q's substitution block at columns [q*A, (q+1)*A); the
+            # one-hot row index becomes qsel*A + char so ONE matmul looks
+            # up every lane's own query profile (K = nq*A on the MXU).
+            chars = qsel_ref[0, 0, :].astype(jnp.int32) * (alpha // nq) + chars
         onehot = (jax.lax.broadcasted_iota(jnp.int32, (alpha, ub), 0)
                   == chars[None, :]).astype(jnp.bfloat16)
         stile_ref[:] = jnp.dot(prof, onehot,
@@ -263,18 +271,20 @@ def _kernel(profile_ref, tpk_ref, *refs, lq, lt, n_tiles, go, ge, unroll,
 
 @functools.partial(jax.jit, static_argnames=(
     "go", "ge", "gapless", "cap", "track", "pack", "unroll", "bt",
-    "interpret"))
-def _sw_call(prof_t, targets_t, qoff=None, *, go, ge, gapless, cap, track,
-             pack, unroll, bt, interpret):
+    "interpret", "nq"))
+def _sw_call(prof_t, targets_t, qoff=None, qsel=None, *, go, ge, gapless,
+             cap, track, pack, unroll, bt, interpret, nq=1):
     lq, alpha = prof_t.shape
     lt = targets_t.shape[0]
-    tpk = pack_targets(targets_t, bt, unroll)
+    # narrow dtypes (int8 transfers) are widened on-device: Mosaic's VMEM
+    # tiling for sub-32-bit rows breaks the per-row tpk slicing
+    tpk = pack_targets(targets_t, bt, unroll).astype(jnp.int32)
     nb, n_tiles, ub = tpk.shape
     offset = qoff is not None
     kernel = functools.partial(
         _kernel, lq=lq, lt=lt, n_tiles=n_tiles, go=go, ge=ge,
         unroll=unroll, bt=bt, gapless=gapless, cap=cap, track=track,
-        pack=pack, offset=offset)
+        pack=pack, offset=offset, nq=nq)
     out_shape = [jax.ShapeDtypeStruct((nb * 8, bt), jnp.int32)] * (
         3 if track else 1)
     out_specs = [pl.BlockSpec((8, bt), lambda i: (i, 0),
@@ -286,10 +296,19 @@ def _sw_call(prof_t, targets_t, qoff=None, *, go, ge, gapless, cap, track,
                      memory_space=pltpu.VMEM),
     ]
     args = [prof_t, tpk]
+    if nq > 1:
+        # per-lane query select, pre-tiled to the packed (nb, U*BT) layout
+        qspad = jnp.zeros((nb * bt,), jnp.int32).at[
+            :qsel.shape[0]].set(qsel).reshape(nb, 1, 1, bt)
+        qspad = jnp.broadcast_to(qspad, (nb, 1, unroll, bt)).reshape(
+            nb, 1, ub)
+        in_specs.append(pl.BlockSpec((1, 1, ub), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(qspad)
     if offset:
         qpad = jnp.zeros((nb * bt,), jnp.int32).at[
-            :qoff.shape[0]].set(qoff).reshape(nb, bt)
-        in_specs.append(pl.BlockSpec((1, bt), lambda i: (i, 0),
+            :qoff.shape[0]].set(qoff).reshape(nb, 1, bt)
+        in_specs.append(pl.BlockSpec((1, 1, bt), lambda i: (i, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(qpad)
     outs = pl.pallas_call(
@@ -388,6 +407,51 @@ def sw_pallas_offset(profile, targets_t, qoff, go=11, ge=1, cap=255,
                          go=go, ge=ge, gapless=False, cap=cap, track=True,
                          pack=pack, unroll=DEFAULT_U, bt=eff_bt,
                          interpret=interpret)
+    return s[:b], qe[:b], te[:b]
+
+
+def sw_pallas_multi(prof_flat, targets_t, qsel, qoff=None, go=11, ge=1,
+                    interpret=False):
+    """Batched SW scores + end positions for MANY query profiles at once.
+
+    prof_flat: (NQ*A, Lq) int — NQ query profiles stacked on the alphabet
+               axis (query q's rows at [q*A, (q+1)*A); pad rows/columns very
+               negative). A is fixed at 32 (ALPHA_PAD).
+    targets_t: (Lt, B) int — transposed target batch.
+    qsel:      (B,) int32 — per-lane query index into prof_flat.
+    qoff:      optional (B,) int32 — per-lane query START offset (reverse
+               start-position pass; see sw_pallas_offset).
+
+    One compiled program covers every lane regardless of which query it
+    aligns against: the substitution lookup becomes a (Lq, NQ*A) @
+    (NQ*A, U*BT) MXU matmul with the one-hot row index qsel*A + char.
+    This is the align-stage workhorse: the whole candidate set of a batch
+    of queries runs in a handful of fixed-shape kernel calls instead of one
+    dispatch per query (each dispatch through the TPU runtime tunnel costs
+    ~25-90 ms, and each new shape a remote compile).
+
+    Replaces the per-query loop of the reference's Alignment driver
+    (src/alignment/Alignment.cpp:409-534) on TPU."""
+    import numpy as _np
+    nqa, lq = _np.asarray(prof_flat).shape
+    nq = nqa // 32
+    lt = _np.asarray(targets_t).shape[0]
+    bound = int(_np.asarray(prof_flat).max()) * lq
+    pack = 0 <= bound < (1 << 24) // _pk_for(lt) - 1
+    prof_t, tpk, lt, b, eff_bt = _prep(prof_flat, targets_t, ge, False,
+                                       DEFAULT_BT, DEFAULT_U)
+    qsel = jnp.asarray(qsel, jnp.int32)
+    if qoff is None:
+        qoff = jnp.zeros_like(qsel)
+    else:
+        qoff = jnp.asarray(qoff, jnp.int32)
+    bp = tpk.shape[1]
+    if qoff.shape[0] != bp:
+        qoff = jnp.pad(qoff, (0, bp - qoff.shape[0]))
+    s, qe, te = _sw_call(prof_t, tpk, qoff, qsel,
+                         go=go, ge=ge, gapless=False, cap=255, track=True,
+                         pack=pack, unroll=DEFAULT_U, bt=eff_bt,
+                         interpret=interpret, nq=nq)
     return s[:b], qe[:b], te[:b]
 
 

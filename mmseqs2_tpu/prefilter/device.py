@@ -154,7 +154,12 @@ class DevicePrefilter:
         self.x_index = seed.alphabet_size - 1
 
         seqs = index_table.masked_seqs
-        t_lens = np.array([len(s) for s in seqs] or [0], dtype=np.int32)
+        if hasattr(seqs, "cat"):          # index_io.CatSeqs packed layout
+            t_lens = (seqs.lens.astype(np.int32) if len(seqs)
+                      else np.zeros(1, np.int32))
+        else:
+            t_lens = np.array([len(s) for s in seqs] or [0],
+                              dtype=np.int32)
         self.n_targets = len(seqs)
         self.max_t_len = int(t_lens.max()) if len(seqs) else 1
         if not device_upload:
@@ -164,8 +169,11 @@ class DevicePrefilter:
         t_offsets = np.concatenate([[0], np.cumsum(t_lens)]).astype(np.int32)
         # packed device layout (IndexTable.h:25-30 parity: 6 B/entry —
         # u32 seq id + u16 position — and 1 B/residue sequence store)
-        t_cat = (np.concatenate(seqs) if len(seqs) else
-                 np.zeros(0, np.uint8)).astype(np.int8)
+        if hasattr(seqs, "cat"):
+            t_cat = seqs.cat.astype(np.int8)
+        else:
+            t_cat = (np.concatenate(seqs) if len(seqs) else
+                     np.zeros(0, np.uint8)).astype(np.int8)
         self.d_entries_seq = jnp.asarray(np.append(
             index_table.entries_seq, 0).astype(np.int32))
         self.d_entries_pos = jnp.asarray(np.append(

@@ -78,39 +78,69 @@ def load_index_meta(path: str):
         return json.loads(r.get_data(r.get_id(K_META)).rstrip(b"\x00"))
 
 
+class CatSeqs:
+    """Lazy list-like over concatenated sequences (zero-copy views).
+
+    Replaces the per-sequence copy loop that made load_index O(n_seqs)
+    ndarray allocations (2.4s of the old 3.4s load for a 50k-target .idx).
+    Exposes `cat` (uint8 concatenation) and `offs` so consumers that want
+    the packed layout (DevicePrefilter, QueryMatcher) skip re-concatenating.
+    """
+
+    def __init__(self, cat: np.ndarray, lens: np.ndarray):
+        self.cat = cat
+        self.lens = np.asarray(lens, np.int64)
+        self.offs = np.concatenate([[0], np.cumsum(self.lens)]).astype(
+            np.int64)
+
+    def __len__(self):
+        return len(self.lens)
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(len(self)))]
+        return self.cat[self.offs[i]:self.offs[i + 1]]
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+
 def load_index(path: str):
-    """Returns (KmerIndexTable, meta dict)."""
-    with DBReader(path) as r:
-        ver = r.get_data(r.get_id(K_VERSION)).rstrip(b"\x00").decode()
-        if ver != INDEX_VERSION:
-            raise ValueError(f"incompatible index version {ver!r}")
-        meta = json.loads(r.get_data(r.get_id(K_META)).rstrip(b"\x00"))
-        offsets = np.frombuffer(r.get_data_raw(r.get_id(K_OFFSETS)),
-                                np.int64)
-        eseq = np.frombuffer(r.get_data_raw(r.get_id(K_ENTRIES_SEQ)),
-                             np.int32)
-        epos = np.frombuffer(r.get_data_raw(r.get_id(K_ENTRIES_POS)),
-                             np.uint16)
-        cat = np.frombuffer(r.get_data_raw(r.get_id(K_SEQ_CAT)), np.uint8)
-        lens = np.frombuffer(r.get_data_raw(r.get_id(K_SEQ_LENS)), np.int32)
-        uniq = None
-        if meta.get("sparse"):
-            uniq = np.frombuffer(r.get_data_raw(r.get_id(K_UNIQ)), np.int64)
+    """Returns (KmerIndexTable, meta dict).
+
+    All buffers are zero-copy views over the reader's mmap (the reader is
+    kept alive on the table as `_reader`); pages fault in on first use, so
+    load time is metadata-only."""
+    r = DBReader(path)
+    ver = r.get_data(r.get_id(K_VERSION)).rstrip(b"\x00").decode()
+    if ver != INDEX_VERSION:
+        r.close()
+        raise ValueError(f"incompatible index version {ver!r}")
+    meta = json.loads(r.get_data(r.get_id(K_META)).rstrip(b"\x00"))
+    offsets = np.frombuffer(r.get_data_view(r.get_id(K_OFFSETS)), np.int64)
+    eseq = np.frombuffer(r.get_data_view(r.get_id(K_ENTRIES_SEQ)), np.int32)
+    epos = np.frombuffer(r.get_data_view(r.get_id(K_ENTRIES_POS)),
+                         np.uint16)
+    cat = np.frombuffer(r.get_data_view(r.get_id(K_SEQ_CAT)), np.uint8)
+    lens = np.frombuffer(r.get_data_view(r.get_id(K_SEQ_LENS)), np.int32)
+    uniq = None
+    if meta.get("sparse"):
+        uniq = np.frombuffer(r.get_data_view(r.get_id(K_UNIQ)), np.int64)
 
     table = KmerIndexTable(meta["alpha"], meta["k"],
                            spaced=bool(meta.get("spaced", True)),
                            user_pattern="".join(
                                "1" if i in set(meta["pattern"]) else "0"
                                for i in range(meta["span"])))
-    table.offsets = offsets.copy()
-    table.entries_seq = eseq.astype(np.int64)
-    table.entries_pos = epos.copy()
-    offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
-    table.masked_seqs = [cat[offs[i]:offs[i + 1]].copy()
-                         for i in range(len(lens))]
+    table._reader = r          # keeps the mmap (and the views) alive
+    table.offsets = offsets
+    table.entries_seq = eseq
+    table.entries_pos = epos
+    table.masked_seqs = CatSeqs(cat, lens)
     table.sparse = bool(meta.get("sparse", False))
     if uniq is not None:
-        table.uniq_kmers = uniq.copy()
+        table.uniq_kmers = uniq
     return table, meta
 
 

@@ -66,11 +66,16 @@ class QueryMatcher:
         self.stats = MatchStats()
         # concatenated masked target array for diagonal rescoring
         seqs = index_table.masked_seqs
-        self.t_lens = np.array([len(s) for s in seqs], dtype=np.int64)
-        self.t_offsets = np.concatenate(
-            [[0], np.cumsum(self.t_lens)]).astype(np.int64)
-        self.t_cat = (np.concatenate(seqs) if len(seqs) else
-                      np.zeros(0, dtype=np.uint8)).astype(np.int64)
+        if hasattr(seqs, "cat"):          # index_io.CatSeqs packed layout
+            self.t_lens = seqs.lens.astype(np.int64)
+            self.t_offsets = seqs.offs.astype(np.int64)
+            self.t_cat = seqs.cat.astype(np.int64)
+        else:
+            self.t_lens = np.array([len(s) for s in seqs], dtype=np.int64)
+            self.t_offsets = np.concatenate(
+                [[0], np.cumsum(self.t_lens)]).astype(np.int64)
+            self.t_cat = (np.concatenate(seqs) if len(seqs) else
+                          np.zeros(0, dtype=np.uint8)).astype(np.int64)
 
     # -- stage 1: k-mer match + double-diagonal detection ---------------------
 
