@@ -29,26 +29,8 @@ def print_usage():
 
 
 def _enable_jax_compile_cache():
-    """Persistent XLA compilation cache across processes.
-
-    Every workflow step is its own process (CommandCaller semantics), and
-    each jitted program costs tens of seconds to compile through the TPU
-    runtime — without a disk cache a pipeline recompiles the same kernels
-    at every stage. Set MMSEQS2_TPU_JAX_CACHE=off to disable."""
-    import os
-    loc = os.environ.get("MMSEQS2_TPU_JAX_CACHE",
-                         os.path.expanduser("~/.cache/mmseqs2_tpu/jax"))
-    if loc == "off":
-        return
-    try:
-        import jax
-        os.makedirs(loc, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", loc)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                          0.5)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    except Exception as e:        # cache is an optimization, never fatal
-        log.warning(f"compilation cache disabled: {e}")
+    from .utils.jaxcache import enable_jax_compile_cache
+    enable_jax_compile_cache()
 
 
 def main(argv=None):

@@ -373,8 +373,11 @@ def _run_device(par, qreader, treader, qdb, dev, matcher, query_is_profile,
     is_writer = jax.process_count() == 1 or jax.process_index() == 0
     writer = (DBWriter(out_path, dbt.DBTYPE_PREFILTER_RES) if is_writer
               else None)
-    HIT_BUDGET = 1 << 22
-    batch, budget = [], 0
+    use_dev0 = (not query_is_profile and hasattr(dev, "_ensure_stage0")
+                and dev._ensure_stage0())
+    can_prepare = hasattr(dev, "prepare_query")
+    batch, budget = [], 0        # host-prepared / sharded stream
+    batch0 = []                  # device-stage-0 stream (short queries)
     reslens = []
 
     def flush():
@@ -385,18 +388,35 @@ def _run_device(par, qreader, treader, qdb, dev, matcher, query_is_profile,
         idents = [b["ident"] for b in batch]
         rps = [b.get("rp") for b in batch]
         gens = [b.get("gen") for b in batch]
+        kw = {}
+        if can_prepare:
+            kw = {"prepared": [b["prep"] for b in batch],
+                  "fixed_shape": True}
         hit_lists = dev.match_batch(
             queries, idents,
             rescore_profiles=(rps if any(r is not None for r in rps)
                               else None),
             generators=(gens if any(g is not None for g in gens)
-                        else None))
-        if writer is not None:
-            for b, hits in zip(batch, hit_lists):
-                n = _write_hits(writer, par, treader, b["key"], b["qlen"],
-                                hits)
-                reslens.append(n)
+                        else None), **kw)
+        _write_batch(batch, hit_lists)
         batch, budget = [], 0
+
+    def flush0():
+        nonlocal batch0
+        if not batch0:
+            return
+        hit_lists = dev.match_batch_seq(
+            [b["q"] for b in batch0], [b["ident"] for b in batch0])
+        _write_batch(batch0, hit_lists)
+        batch0 = []
+
+    def _write_batch(items, hit_lists):
+        if writer is None:
+            return
+        for b, hits in zip(items, hit_lists):
+            n = _write_hits(writer, par, treader, b["key"], b["qlen"],
+                            hits)
+            reslens.append(n)
 
     for qid in range(qreader.size):
         q_key = qreader.get_db_key(qid)
@@ -422,13 +442,35 @@ def _run_device(par, qreader, treader, qdb, dev, matcher, query_is_profile,
         else:
             item["q"] = qdb.seq_num(qid)
             item["qlen"] = float(qreader.get_seq_len(qid))
-        # rough budget: estimated hits from the CSR counts are only known
-        # after prepare; batch by query count + residues instead
-        batch.append(item)
-        budget += len(item["q"])
-        if len(batch) >= 64 or budget >= 1 << 16:
-            flush()
+        if use_dev0 and len(item["q"]) <= dev.LQ0:
+            # stage-0 runs on device: flush by query count; volume
+            # overflow is detected on device and retried split. Queries
+            # longer than the fixed LQ0 shape take the host-prepared
+            # stream below so they don't force the whole batch off the
+            # single-program path.
+            batch0.append(item)
+            if len(batch0) >= dev.B_PAD:
+                flush0()
+        elif can_prepare:
+            # prepare (host stage-0) up front so the flush decision sees
+            # the ACTUAL expansion volume, and every flush fits the one
+            # fixed (B_PAD, H_CAP_FIXED) compiled program
+            item["prep"] = dev.prepare_query(
+                item["q"], item.get("rp"), item.get("gen"))
+            vol = int(item["prep"][1].sum())
+            if batch and (budget + vol > dev.H_CAP_FIXED
+                          or len(batch) >= dev.B_PAD):
+                flush()
+            batch.append(item)
+            budget += vol
+        else:
+            # sharded engine: stage-0 is per-shard, batch by residues
+            batch.append(item)
+            budget += len(item["q"])
+            if len(batch) >= 64 or budget >= 1 << 16:
+                flush()
     flush()
+    flush0()
     if writer is not None:
         writer.close()
         _print_statistics(None, reslens, qreader.size, par.max_seqs)

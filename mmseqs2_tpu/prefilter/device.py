@@ -31,15 +31,19 @@ to the host oracle.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..ops.encode import calc_local_aa_bias
-from .device_stages import (BIG, I32_MAX, bucket as _bucket, make_rescore,
+from ..utils.jaxcache import enable_jax_compile_cache
+from .device_stages import (BIG, I32_MAX, bucket as _bucket, fast_cumsum,
+                            make_rescore, make_rescore_from_letters,
                             stage_candidates, stage_finalize, stage_hist,
-                            stage_keepmax, stage_select, threshold_from_hist)
+                            stage_keepmax, stage_select, stage_zero,
+                            threshold_from_hist)
 from .kmer_index import extract_kmers
 from .query_matcher import UCHAR_MAX, USHRT_MAX
 
@@ -51,16 +55,16 @@ from .query_matcher import UCHAR_MAX, USHRT_MAX
 @functools.partial(
     jax.jit,
     static_argnames=("h_cap", "c_cap", "n_q", "lq_max", "ln_max",
-                     "max_hits", "min_diag_thr", "chunk", "out_sz"))
+                     "max_hits", "min_diag_thr", "chunk", "out_sz", "nt"))
 def _device_match(starts, counts, qpos, qid,          # (K,) triples
                   entries_seq, entries_pos,           # (E,) index entries
                   t_cat, t_offsets, t_lens,           # target store
                   prof, q_lens, identity,             # (B,Lq,A), (B,), (B,)
                   *, h_cap, c_cap, n_q, lq_max, ln_max, max_hits,
-                  min_diag_thr, chunk, out_sz):
+                  min_diag_thr, chunk, out_sz, nt=None):
     cqid, cid, cdiag, cvalid, n_cand, total = stage_candidates(
         starts, counts, qpos, qid, entries_seq, entries_pos,
-        h_cap=h_cap, c_cap=c_cap)
+        h_cap=h_cap, c_cap=c_cap, nt=nt)
     rescore = make_rescore(t_cat, t_offsets, t_lens, prof, q_lens,
                            lq_max=lq_max, ln_max=ln_max, chunk=chunk)
     cscore = rescore(cqid, cid, cdiag, cvalid, cap=True, n_valid=n_cand)
@@ -79,8 +83,145 @@ def _device_match(starts, counts, qpos, qid,          # (K,) triples
 
     oq, _, oid, odiag, ofs, oval = stage_finalize(
         kqid, kid, kdiag, final_score, kvalid)
-    return (oq, oid, odiag, ofs, oval.astype(bool), n_cand, n_keep,
-            truncated, total)
+    # pack outputs into TWO arrays: each host fetch through the runtime
+    # tunnel pays high fixed latency, so 9 per-array reads become 2
+    big = jnp.stack([oq, oid, odiag, ofs, oval.astype(jnp.int32)])
+    small = jnp.concatenate([
+        jnp.stack([n_cand, n_keep, total.astype(jnp.int32)]),
+        truncated.astype(jnp.int32)])
+    return big, small
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pat", "steps", "mults", "caps", "vmins", "steppowers",
+                     "x_index"))
+def _device_stage0(q_pad, qlens, thr_win, tabs, offsets32,
+                   *, pat, steps, mults, caps, vmins, steppowers, x_index):
+    """Stage-0 as its own program: the only per-flush host->device payload
+    is the padded query letters plus per-window thresholds (~100 KB for 64
+    queries) — the sub-k-mer score tables, CSR offsets, and index entries
+    are device-resident. Kept separate from the match program: fusing the
+    two blows up the XLA TPU backend's compile time (hours) while two
+    programs with a device-array handoff compile in seconds each."""
+    tables = [tabs[i] + (vmins[i], steppowers[i]) for i in range(len(steps))]
+    starts, counts, qpos, qid, level_totals = stage_zero(
+        q_pad, qlens, thr_win, tables, offsets32,
+        pat=pat, steps=steps, mults=mults, caps=caps, x_index=x_index)
+    # exact expansion total in two i32 halves (counts can sum past 2^31
+    # when a batch needs splitting; i64 is emulated on TPU)
+    tot_hi = jnp.sum(counts >> 16)
+    tot_lo = jnp.sum(counts & 0xFFFF)
+    return starts, counts, qpos, qid, jnp.concatenate(
+        [level_totals.astype(jnp.int32), jnp.stack([tot_hi, tot_lo])])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h_cap", "c_cap", "n_q", "lq_max", "ln_max",
+                     "max_hits", "min_diag_thr", "chunk", "out_sz", "nt"))
+def _device_match_letters(starts, counts, qpos, qid,
+                          entries_seq, entries_pos,
+                          t_cat, t_offsets, t_lens,
+                          q_pad, corr, submat, q_lens, identity,
+                          *, h_cap, c_cap, n_q, lq_max, ln_max, max_hits,
+                          min_diag_thr, chunk, out_sz, nt=None):
+    """_device_match with the rescore profile derived on device from the
+    query letters + bias correction (no (B,Lq,A) profile transfer)."""
+    cqid, cid, cdiag, cvalid, n_cand, total = stage_candidates(
+        starts, counts, qpos, qid, entries_seq, entries_pos,
+        h_cap=h_cap, c_cap=c_cap, nt=nt)
+    rescore = make_rescore_from_letters(
+        t_cat, t_offsets, t_lens, q_pad, corr, submat, q_lens,
+        lq_max=lq_max, ln_max=ln_max, chunk=chunk)
+    cscore = rescore(cqid, cid, cdiag, cvalid, cap=True, n_valid=n_cand)
+    is_best = stage_keepmax(cqid, cid, cscore, cvalid, c_cap=c_cap)
+    hist = stage_hist(cqid, cscore, is_best, n_q=n_q, c_cap=c_cap)
+    thr, truncated = threshold_from_hist(hist, max_hits, min_diag_thr)
+    kqid, kid, kdiag, kscore, kvalid = stage_select(
+        cqid, cid, cdiag, cscore, cvalid, is_best, thr, identity,
+        c_cap=c_cap, max_hits=max_hits, out_sz=out_sz)
+    n_keep = jnp.sum(kvalid.astype(jnp.int32))
+    sat = kvalid & (kscore >= UCHAR_MAX)
+    exact = rescore(kqid, kid, kdiag, sat, cap=False, n_valid=n_keep)
+    final_score = jnp.where(sat, exact, kscore)
+    oq, _, oid, odiag, ofs, oval = stage_finalize(
+        kqid, kid, kdiag, final_score, kvalid)
+    big = jnp.stack([oq, oid, odiag, ofs, oval.astype(jnp.int32)])
+    small = jnp.concatenate([
+        jnp.stack([n_cand, n_keep, total.astype(jnp.int32)]),
+        truncated.astype(jnp.int32)])
+    return big, small
+
+
+_TABLE_CACHE = {}
+
+
+def _build_table_device(sub_matrix, alpha, k):
+    """Device-built ExtendedSubstitutionMatrix: score-desc sorted sub-k-mer
+    rows + suffix-count LUT, resident in HBM (reference precomputes the
+    same ScoreMatrix host-side, ExtendedSubstitutionMatrix.cpp). Returns
+    ((scores i16 (S,S), idx i32 (S,S), cnt i32 (S,V)), vmin, powers)."""
+    key = (sub_matrix[:alpha, :alpha].tobytes(), alpha, k,
+           jax.default_backend())
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    S = alpha ** k
+    powers = (alpha ** np.arange(k)).astype(np.int64)
+    digits = np.stack([((np.arange(S) // powers[i]) % alpha)
+                       for i in range(k)]).astype(np.int32)
+    be = np.zeros(S, np.int64)
+    for i in range(k):
+        be = be * alpha + digits[i]
+    mat = sub_matrix[:alpha, :alpha].astype(np.int32)
+    vmin = int(mat.min()) * k
+    V = int(mat.max()) * k - vmin + 1
+
+    @jax.jit
+    def build(mat_d, dig, be_d):
+        s = jnp.zeros((S, S), jnp.int32)
+        for i in range(k):
+            s = s + mat_d[dig[i][:, None], dig[i][None, :]]
+        # score desc, tie lexicographic: same composite key as
+        # SubKmerScores.ensure_rows; keys are unique so argsort order
+        # is deterministic
+        key_ = (-s) * np.int32(S) + be_d[None, :]
+        order = jnp.argsort(key_, axis=1).astype(jnp.int32)
+        ss = jnp.take_along_axis(s, order, axis=1).astype(jnp.int16)
+        hist = jnp.zeros((S, V), jnp.int32).at[
+            jnp.arange(S)[:, None], s - vmin].add(1)
+        cnt = jnp.cumsum(hist[:, ::-1], axis=1)[:, ::-1]
+        return ss, order, cnt
+
+    ss, order, cnt = build(jnp.asarray(mat), jnp.asarray(digits),
+                           jnp.asarray(be.astype(np.int32)))
+    out = ((ss, order, cnt), vmin, tuple(int(p) for p in powers))
+    _TABLE_CACHE[key] = out
+    return out
+
+
+def _build_offsets32_device(index_table):
+    """Upload the k-mer CSR offsets as i32, shipping only the non-empty
+    (code, count) pairs and rebuilding the dense offsets with a device
+    scatter + cumsum (the dense int64 offsets are ~512 MB; the tunnel
+    moves ~60 MB/s)."""
+    tsz = int(index_table.table_size)
+    if getattr(index_table, "sparse", False):
+        nz = np.asarray(index_table.uniq_kmers, np.int64)
+        cnts = np.diff(index_table.offsets).astype(np.int32)
+    else:
+        diff = np.diff(index_table.offsets)
+        nz = np.nonzero(diff)[0]
+        cnts = diff[nz].astype(np.int32)
+
+    @jax.jit
+    def build(nz_d, c_d):
+        arr = jnp.zeros(tsz + 1, jnp.int32).at[nz_d + 1].add(
+            c_d, mode="drop")
+        return fast_cumsum(arr)
+
+    return build(jnp.asarray(nz.astype(np.int32)), jnp.asarray(cnts))
 
 
 @functools.partial(
@@ -139,6 +280,7 @@ class DevicePrefilter:
                  min_diag_score_thr=15, generator=None,
                  take_only_best_kmer=False, host_fallback=None,
                  device_upload=True):
+        enable_jax_compile_cache()
         self.index = index_table
         self.seed = seed
         self.ungapped = ungapped
@@ -322,28 +464,211 @@ class DevicePrefilter:
                         exacts.get(b, {})))
         return out
 
-    def match_batch(self, queries, identity_ids, rescore_profiles=None,
-                    generators=None):
-        """queries: list of numeric query arrays. Returns list of hit-tuple
-        lists [(local target id, prefScore, diagonal i32), ...]."""
-        B = len(queries)
-        starts_l, counts_l, qpos_l, qid_l = [], [], [], []
-        profs, qlens = [], []
-        for b, q_num in enumerate(queries):
-            rp = rescore_profiles[b] if rescore_profiles else None
-            gen = generators[b] if generators else None
-            s, c, qpos, prof = self.prepare_query(q_num, rp, gen)
-            starts_l.append(s)
-            counts_l.append(c)
-            qpos_l.append(qpos)
-            qid_l.append(np.full(len(qpos), b, np.int32))
-            profs.append(prof)
-            qlens.append(len(q_num))
+    # fixed-shape flush geometry: _run_device batches queries so every
+    # device call compiles to the SAME program (one executable per
+    # process, vs one per power-of-two hit-volume bucket). Chosen so
+    # B_PAD*max(nt) stays < 2^31 for the packed candidate sort.
+    B_PAD = 64
+    H_CAP_FIXED = 1 << 21
+    C_CAP_FIXED = 1 << 17
 
-        starts = np.concatenate(starts_l)
-        counts = np.concatenate(counts_l)
-        qpos = np.concatenate(qpos_l)
-        qid = np.concatenate(qid_l)
+    # device stage-0 geometry (match_batch_seq): queries padded to
+    # (B_PAD, LQ0); similar-k-mer expansion levels capped per CAPS*
+    # H0 at 2^21: the packed candidate sort's XLA TPU compile time grows
+    # superlinearly with width (~4 min at 2^21, >10 min at 2^22); results
+    # are disk-cached, and volume overflow falls back to batch splitting
+    LQ0 = 512
+    H0_CAP = 1 << 21
+    C0_CAP = 1 << 17
+    CAPS2 = (1 << 22, 1 << 23)
+    CAPS3 = (1 << 21, 1 << 22, 1 << 23)
+
+    def _ensure_stage0(self):
+        """Build/upload the device-resident stage-0 tables once: sorted
+        sub-k-mer score tables, suffix-count LUTs, i32 CSR offsets.
+        Returns True when the device stage-0 path is usable."""
+        s = getattr(self, "_stage0", None)
+        if s is not None:
+            return s
+        ok = (not self.take_only_best and self.generator is not None
+              and hasattr(self, "d_entries_seq")
+              and getattr(self.index, "offsets", None) is not None)
+        if ok:
+            env = os.environ.get("MMSEQS2_TPU_STAGE0", "")
+            if env == "0":
+                ok = False
+            elif env != "1" and jax.default_backend() == "cpu":
+                # CPU backend: the 64M-element table sort is minutes of
+                # host time; keep the host stage-0 there unless forced
+                ok = False
+        if ok:
+            from .kmer_generator import KmerGenerator
+            ok = (type(self.generator) is KmerGenerator
+                  and int(self.index.table_size)
+                  == self.generator.alpha ** self.k)
+        if not ok:
+            self._stage0 = False
+            return False
+        gen = self.generator
+        steps = tuple(gen.steps)
+        tabs, vmins, powers = [], [], []
+        for st in steps:
+            (arrs, vmin, pw) = _build_table_device(
+                self.seed.sub_matrix, gen.alpha, st)
+            tabs.append(arrs)
+            vmins.append(vmin)
+            powers.append(pw)
+        offs = np.concatenate([[0], np.cumsum(steps)])[:-1]
+        self._s0_steps = steps
+        self._s0_tabs = tuple(tabs)
+        self._s0_vmins = tuple(vmins)
+        self._s0_steppowers = tuple(powers)
+        self._s0_mults = tuple(int(gen.powers[o]) for o in offs)
+        self._s0_offsets32 = _build_offsets32_device(self.index)
+        self._s0_pat = tuple(int(x) for x in self.index.offsets_pat)
+        self._d_submat = jnp.asarray(
+            self.ungapped.sub_matrix.astype(np.int32))
+        self._stage0 = True
+        return True
+
+    def match_batch_seq(self, queries, identity_ids):
+        """match_batch for plain sequence queries with stage-0 on device:
+        ships ~(B, 512) letters + per-window thresholds, nothing else."""
+        B = len(queries)
+        results = [[] for _ in range(B)]
+        for b in range(B):
+            if identity_ids[b] >= 0:
+                results[b].append((identity_ids[b], USHRT_MAX, 0))
+        if self.n_targets == 0:
+            return results
+        n_q = self.B_PAD
+        lq = self.LQ0
+        span = int(self.index.span)
+        Wmax = lq - span + 1
+        q_pad = np.full((n_q, lq), self.x_index, np.int32)
+        corr = np.zeros((n_q, lq), np.int32)
+        thr_win = np.full((n_q, Wmax), 1 << 29, np.int32)
+        qlens_pad = np.ones(n_q, np.int32)
+        idents = np.full(n_q, -1, np.int32)
+        idents[:B] = identity_ids
+        pat_np = np.asarray(self._s0_pat)
+        for b, q in enumerate(queries):
+            L = len(q)
+            q_pad[b, :L] = q
+            qlens_pad[b] = L
+            if self.aa_bias_corr:
+                cb = calc_local_aa_bias(q, self.seed.sub_matrix,
+                                        self.seed.pback, self.bias_scale)
+            else:
+                cb = np.zeros(L, np.float32)
+            corr[b, :L] = np.trunc(np.where(cb < 0.0, cb / 4 - 0.5,
+                                            cb / 4 + 0.5)).astype(np.int32)
+            nw = L - span + 1
+            if nw > 0:
+                bias_f = cb[np.arange(nw)[:, None]
+                            + pat_np[None, :]].sum(axis=1)
+                bias = np.trunc(np.where(bias_f < 0.0, bias_f - 0.5,
+                                         bias_f + 0.5))
+                thr_win[b, :nw] = np.maximum(
+                    self.kmer_thr - bias, 0).astype(np.int32)
+        ln_max = _bucket(min(lq, self.max_t_len), 64)
+        out_sz = _bucket(n_q * self.max_hits, 256)
+        nt = (self.n_targets
+              if n_q * max(self.n_targets, 1) < (1 << 31) else None)
+        caps = self.CAPS3 if len(self._s0_steps) == 3 else self.CAPS2
+        d_q_pad = jnp.asarray(q_pad)
+        d_qlens = jnp.asarray(qlens_pad)
+        starts, counts, qposd, qidd, s0_small = _device_stage0(
+            d_q_pad, d_qlens, jnp.asarray(thr_win),
+            self._s0_tabs, self._s0_offsets32,
+            pat=self._s0_pat, steps=self._s0_steps, mults=self._s0_mults,
+            caps=caps, vmins=self._s0_vmins,
+            steppowers=self._s0_steppowers, x_index=self.x_index)
+        big, small = _device_match_letters(
+            starts, counts, qposd, qidd,
+            self.d_entries_seq, self.d_entries_pos,
+            self.d_t_cat, self.d_t_offsets, self.d_t_lens,
+            d_q_pad, jnp.asarray(corr), self._d_submat, d_qlens,
+            jnp.asarray(idents),
+            h_cap=self.H0_CAP, c_cap=self.C0_CAP, n_q=n_q, lq_max=lq,
+            ln_max=ln_max, max_hits=self.max_hits,
+            min_diag_thr=self.min_diag_thr, chunk=4096, out_sz=out_sz,
+            nt=nt)
+        big = np.asarray(big)
+        small = np.asarray(small)
+        s0_small = np.asarray(s0_small)
+        n_levels = len(self._s0_steps)
+        n_cand = int(small[0])
+        total = (int(s0_small[n_levels]) << 16) + int(s0_small[n_levels + 1])
+        levels = s0_small[:n_levels]
+        truncated = small[3:3 + n_q].astype(bool)
+        overflow = (n_cand > self.C0_CAP or total > self.H0_CAP
+                    or any(int(levels[i]) > caps[i]
+                           for i in range(n_levels)))
+        if overflow:
+            if B > 1:
+                mid = B // 2
+                return (self.match_batch_seq(queries[:mid],
+                                             identity_ids[:mid])
+                        + self.match_batch_seq(queries[mid:],
+                                               identity_ids[mid:]))
+            if self.host_fallback is not None:
+                return [self.host_fallback.match(
+                    queries[0], identity_ids[0], diagonal_scoring=True)]
+            raise MemoryError("stage-0 expansion exceeds device caps")
+        oq, oid, odiag, ofs, oval = big
+        sel = np.nonzero(oval.astype(bool))[0]
+        oqs, oids, ofss = oq[sel], oid[sel], ofs[sel]
+        diags = np.int16(odiag[sel].astype(np.uint16))
+        bounds = np.searchsorted(oqs, np.arange(B + 1))
+        for b in range(B):
+            if truncated[b]:
+                continue
+            for i in range(int(bounds[b]), int(bounds[b + 1])):
+                results[b].append((int(oids[i]), int(ofss[i]),
+                                   int(diags[i])))
+        if truncated[:B].any() and self.host_fallback is not None:
+            for b in np.nonzero(truncated[:B])[0]:
+                results[b] = self.host_fallback.match(
+                    queries[b], identity_ids[b], diagonal_scoring=True)
+        return results
+
+    def match_batch(self, queries, identity_ids, rescore_profiles=None,
+                    generators=None, prepared=None, fixed_shape=False):
+        """queries: list of numeric query arrays. Returns list of hit-tuple
+        lists [(local target id, prefScore, diagonal i32), ...].
+
+        `prepared`: optional precomputed per-query stage-0 results
+        (starts, counts, qpos, prof) — _run_device streams these so the
+        flush decision can see actual expansion volumes. `fixed_shape`:
+        pad the batch to (B_PAD, H_CAP_FIXED, C_CAP_FIXED) so every flush
+        reuses one compiled program."""
+        B = len(queries)
+        if (prepared is None and rescore_profiles is None
+                and generators is None
+                and all(len(q) <= self.LQ0 for q in queries)
+                and self._ensure_stage0()):
+            if B <= self.B_PAD:
+                return self.match_batch_seq(queries, identity_ids)
+            out = []
+            for lo in range(0, B, self.B_PAD):
+                out += self.match_batch_seq(
+                    queries[lo:lo + self.B_PAD],
+                    identity_ids[lo:lo + self.B_PAD])
+            return out
+        if prepared is None:
+            prepared = [
+                self.prepare_query(
+                    q, rescore_profiles[b] if rescore_profiles else None,
+                    generators[b] if generators else None)
+                for b, q in enumerate(queries)]
+        starts = np.concatenate([p[0] for p in prepared])
+        counts = np.concatenate([p[1] for p in prepared])
+        qpos = np.concatenate([p[2] for p in prepared])
+        qid = np.concatenate([np.full(len(p[2]), b, np.int32)
+                              for b, p in enumerate(prepared)])
+        profs = [p[3] for p in prepared]
+        qlens = [len(q) for q in queries]
         total = int(counts.sum())
         results = [[] for _ in range(B)]
         for b in range(B):
@@ -352,16 +677,28 @@ class DevicePrefilter:
         if total == 0 or self.n_targets == 0:
             return results
 
+        # fixed shape only pays off when flushes are large: padding a
+        # toy batch to H_CAP_FIXED would turn a 1k-element sort into a
+        # 2M-element one. Small workloads take the bucketed path.
+        use_fixed = (fixed_shape and B <= self.B_PAD
+                     and (1 << 16) < total <= self.H_CAP_FIXED
+                     and self.B_PAD * max(self.n_targets, 1) < (1 << 31))
+        n_q = self.B_PAD if use_fixed else B
         lq_max = _bucket(max(qlens), 64)
+        if use_fixed:
+            lq_max = max(lq_max, 512)
         alpha = self.ungapped.alphabet_size
-        prof_pad = np.full((B, lq_max, alpha), -128, np.int32)
+        prof_pad = np.full((n_q, lq_max, alpha), -128, np.int32)
         for b in range(B):
             prof_pad[b, :qlens[b], :profs[b].shape[1]] = profs[b]
         ln_max = _bucket(min(lq_max, self.max_t_len), 64)
 
         K = len(starts)
         k_cap = _bucket(max(K, 1))
-        h_cap = _bucket(max(total, 1), 4096)
+        if use_fixed:
+            k_cap = max(k_cap, 1 << 20)   # remainder flushes reuse shape
+        h_cap = self.H_CAP_FIXED if use_fixed \
+            else _bucket(max(total, 1), 4096)
         if h_cap > self.H_CAP_MAX:
             if B == 1:
                 # single over-budget query: host oracle handles it
@@ -375,50 +712,66 @@ class DevicePrefilter:
                 return [self.host_fallback.match(
                     queries[0], identity_ids[0], diagonal_scoring=True,
                     rescore_profile=rp)]
-            mid = B // 2
-            def sub(sl):
-                return self.match_batch(
-                    queries[sl], identity_ids[sl],
-                    rescore_profiles[sl] if rescore_profiles else None,
-                    generators[sl] if generators else None)
-            return sub(slice(0, mid)) + sub(slice(mid, B))
+            return self._split_batch(queries, identity_ids,
+                                     rescore_profiles, generators,
+                                     prepared, fixed_shape)
         pad = k_cap - K
         starts = np.pad(starts, (0, pad))
         counts = np.pad(counts, (0, pad))
         qpos = np.pad(qpos, (0, pad))
-        qid = np.pad(qid, (0, pad), constant_values=B - 1)
-        out_sz = _bucket(B * self.max_hits, 256)
+        qid = np.pad(qid, (0, pad), constant_values=n_q - 1)
+        out_sz = _bucket(n_q * self.max_hits, 256)
+        idents = np.full(n_q, -1, np.int32)
+        idents[:B] = identity_ids
+        qlens_pad = np.ones(n_q, np.int32)
+        qlens_pad[:B] = qlens
 
-        c_cap = h_cap          # n_cand <= total: single compile per bucket
-        (oq, oid, odiag, ofs, oval, n_cand, n_keep, truncated,
-         tot) = _device_match(
+        # packed-key candidate sort needs n_q*nt < 2^31
+        nt = self.n_targets if n_q * max(self.n_targets, 1) < (1 << 31) \
+            else None
+        c_cap = self.C_CAP_FIXED if use_fixed else h_cap
+        big, small = _device_match(
             jnp.asarray(starts), jnp.asarray(counts), jnp.asarray(qpos),
             jnp.asarray(qid), self.d_entries_seq, self.d_entries_pos,
             self.d_t_cat, self.d_t_offsets, self.d_t_lens,
             jnp.asarray(prof_pad),
-            jnp.asarray(np.array(qlens, np.int32)),
-            jnp.asarray(np.array(identity_ids, np.int32)),
-            h_cap=h_cap, c_cap=c_cap, n_q=B, lq_max=lq_max,
+            jnp.asarray(qlens_pad), jnp.asarray(idents),
+            h_cap=h_cap, c_cap=c_cap, n_q=n_q, lq_max=lq_max,
             ln_max=ln_max, max_hits=self.max_hits,
             min_diag_thr=self.min_diag_thr,
-            chunk=min(4096, c_cap), out_sz=out_sz)
-        oq = np.asarray(oq)
-        oid = np.asarray(oid)
-        odiag = np.asarray(odiag)
-        ofs = np.asarray(ofs)
-        oval = np.asarray(oval)
-        truncated = np.asarray(truncated)
+            chunk=min(4096, c_cap), out_sz=out_sz, nt=nt)
+        big = np.asarray(big)
+        small = np.asarray(small)
+        oq, oid, odiag, ofs, oval = big
+        n_cand, truncated = int(small[0]), small[3:3 + n_q].astype(bool)
+        if n_cand > c_cap:
+            # candidate overflow past the fixed compaction cap: re-run
+            # split so no candidate is dropped (rare: C_CAP_FIXED holds
+            # ~0.5M per-diagonal double-hits per flush)
+            if B > 1:
+                return self._split_batch(queries, identity_ids,
+                                         rescore_profiles, generators,
+                                         prepared, fixed_shape)
+            if self.host_fallback is not None:
+                gen = generators[0] if generators else None
+                if gen is not None:
+                    self.host_fallback.generator = gen
+                rp = rescore_profiles[0] if rescore_profiles else None
+                return [self.host_fallback.match(
+                    queries[0], identity_ids[0], diagonal_scoring=True,
+                    rescore_profile=rp)]
+            raise MemoryError(f"candidate volume {n_cand} exceeds c_cap")
 
         for i in range(len(oq)):
             if not oval[i]:
                 continue
             b = int(oq[i])
-            if truncated[b]:
+            if b >= B or truncated[b]:
                 continue
             results[b].append((int(oid[i]), int(ofs[i]),
                                int(np.int16(np.uint16(odiag[i])))))
-        if truncated.any() and self.host_fallback is not None:
-            for b in np.nonzero(truncated)[0]:
+        if truncated[:B].any() and self.host_fallback is not None:
+            for b in np.nonzero(truncated[:B])[0]:
                 gen = generators[b] if generators else None
                 if gen is not None:
                     self.host_fallback.generator = gen
@@ -427,3 +780,17 @@ class DevicePrefilter:
                     queries[b], identity_ids[b], diagonal_scoring=True,
                     rescore_profile=rp)
         return results
+
+    def _split_batch(self, queries, identity_ids, rescore_profiles,
+                     generators, prepared, fixed_shape):
+        B = len(queries)
+        mid = B // 2
+
+        def sub(sl):
+            return self.match_batch(
+                queries[sl], identity_ids[sl],
+                rescore_profiles[sl] if rescore_profiles else None,
+                generators[sl] if generators else None,
+                prepared[sl] if prepared else None,
+                fixed_shape)
+        return sub(slice(0, mid)) + sub(slice(mid, B))

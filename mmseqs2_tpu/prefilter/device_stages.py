@@ -27,54 +27,219 @@ def _shift1(x, fill):
     return jnp.concatenate([jnp.full((1,), fill, x.dtype), x[:-1]])
 
 
-def stage_candidates(starts, counts, qpos, qid, entries_seq, entries_pos,
-                     *, h_cap, c_cap):
-    """Posting expansion + (qid,id) sort + double-diagonal detection +
-    compaction. Returns (cqid, cid, cdiag, cvalid, n_cand, total)."""
-    # -- expansion
-    cum = jnp.cumsum(counts)
+def fast_cumsum(x, block: int = 2048):
+    """Inclusive cumsum for long 1-D arrays via two-level blocking.
+
+    XLA lowers a 1-D cumsum on TPU to a serial HBM scan; reshaping to
+    (rows, block) scans the lane dimension vectorized across sublanes,
+    ~10x faster for multi-million-element arrays."""
+    n = x.shape[0]
+    if n <= 4 * block:
+        return jnp.cumsum(x)
+    nb = -(-n // block)
+    xp = jnp.pad(x, (0, nb * block - n)).reshape(nb, block)
+    within = jnp.cumsum(xp, axis=1)
+    carry = jnp.concatenate([jnp.zeros(1, x.dtype),
+                             jnp.cumsum(within[:, -1])[:-1]])
+    return (within + carry[:, None]).reshape(-1)[:n]
+
+
+def seg_expand(counts, cum, cap):
+    """Variable-length segment expansion: element e of the output belongs
+    to segment seg[e] and is its within[e]-th member. `cum` is the
+    inclusive cumsum of `counts`. Entries at or past cum[-1] are invalid.
+
+    Returns (seg, within, valid, total). The scatter-marks/cumsum trick
+    avoids any data-dependent shape: output is fixed at `cap`."""
     total = cum[-1]
-    marks = jnp.zeros(h_cap + 1, jnp.int32).at[jnp.minimum(cum, h_cap)].add(
+    marks = jnp.zeros(cap + 1, jnp.int32).at[jnp.minimum(cum, cap)].add(
         1, mode="drop")
-    trip = jnp.cumsum(marks)[:h_cap]
-    k_arange = jnp.arange(h_cap, dtype=jnp.int32)
-    valid = k_arange < total
-    trip = jnp.minimum(trip, starts.shape[0] - 1)
-    within = k_arange - (cum[trip] - counts[trip])
+    seg = fast_cumsum(marks)[:cap]
+    k_ar = jnp.arange(cap, dtype=jnp.int32)
+    valid = k_ar < total
+    seg = jnp.minimum(seg, counts.shape[0] - 1)
+    within = k_ar - (cum[seg] - counts[seg])
+    return seg, within, valid, total
+
+
+def lut_count_ge(cnt, vmin, rows, cutoff):
+    """#{j : score(rows[i], j) >= cutoff[i]} via the per-row suffix-count
+    LUT `cnt` (S, V). Cutoffs below vmin count everything; above vmax
+    count nothing (matches SubKmerScores.count_ge)."""
+    V = cnt.shape[1]
+    c = cutoff - vmin
+    inr = c < V
+    cc = jnp.clip(c, 0, V - 1)
+    return jnp.where(inr, cnt[rows, cc], 0)
+
+
+def stage_zero(q_pad, qlens, thr_win, tables, offsets32,
+               *, pat, steps, mults, caps, x_index):
+    """Device similar-k-mer generation + CSR posting lookup — the whole
+    host stage-0 (KmerGenerator::generateKmerList, KmerGenerator.cpp:30-110
+    + IndexTable lookup) as one traced program against device-resident
+    sub-k-mer score tables.
+
+    q_pad: (B, lq) i32 query letters (pad with x_index); qlens: (B,);
+    thr_win: (B, Wmax) i32 per-window bias-adjusted k-mer threshold;
+    tables: per divide step (scores (S,S) i16 desc-sorted, idx (S,S) i32,
+    cnt (S,V) i32 suffix-count LUT, vmin, powers tuple);
+    offsets32: (alpha^k + 1,) i32 CSR offsets of the target k-mer index.
+    pat: spaced-pattern offsets; steps: divide widths (reference
+    setDivideStrategy, KmerGenerator.cpp:41-88); mults: little-endian
+    positional multiplier per step; caps: static expansion cap per level
+    (last = final code capacity).
+
+    Enumeration order is window-major, prefix-major within a window —
+    identical to the host generator, so downstream stable sorts see the
+    same candidate order. The reference's per-window MAX_RESULT clamp
+    (2^23) is not applied here: a batch reaching it overflows caps[-1]
+    and the caller falls back to the host oracle.
+
+    Returns (starts, counts, qpos, qid, code_total) where the first four
+    are (caps[-1],) CSR lists feeding stage_candidates, and code_total
+    detects cap overflow."""
+    B, lq = q_pad.shape
+    Wmax = thr_win.shape[1]
+    span = int(pat[-1]) + 1
+    w_ar = jnp.arange(Wmax, dtype=jnp.int32)
+    gidx = w_ar[:, None] + jnp.asarray(pat, jnp.int32)[None, :]
+    letters = q_pad[:, gidx]                      # (B, Wmax, k)
+    valid_w = ((w_ar[None, :] + span <= qlens[:, None])
+               & (letters != x_index).all(axis=2))
+    BW = B * Wmax
+    valid_w = valid_w.reshape(BW)
+    thr = thr_win.reshape(BW)
+
+    n_steps = len(steps)
+    subs, highest = [], []
+    off = 0
+    for si, step in enumerate(steps):
+        scores_s, idx_s, cnt_s, vmin_s, powers_s = tables[si]
+        sub = jnp.zeros(BW, jnp.int32)
+        lets = letters[:, :, off:off + step].reshape(BW, step)
+        for j in range(step):
+            sub = sub + lets[:, j] * np.int32(powers_s[j])
+        subs.append(sub)
+        highest.append(scores_s[sub, 0].astype(jnp.int32))
+        off += step
+    rest = [jnp.zeros(BW, jnp.int32) for _ in range(n_steps)]
+    for i in range(n_steps - 1, 0, -1):
+        rest[i - 1] = highest[i] + rest[i]
+
+    # level 0
+    scores0, idx0, cnt0_t, vmin0, _ = tables[0]
+    S0 = scores0.shape[1]
+    cnt = lut_count_ge(cnt0_t, vmin0, subs[0], thr - rest[0])
+    cnt = jnp.where(valid_w, cnt, 0)
+    cum = fast_cumsum(cnt)
+    win, j, valid, _ = seg_expand(cnt, cum, caps[0])
+    level_totals = [cum[-1]]
+    score = jnp.where(valid, scores0[subs[0][win], j].astype(jnp.int32), 0)
+    code = idx0[subs[0][win], j] * np.int32(mults[0])
+
+    for si in range(1, n_steps):
+        scores_s, idx_s, cnt_s, vmin_s, _ = tables[si]
+        rs = subs[si][win]
+        cutoff = thr[win] - score - rest[si][win]
+        cnt_i = jnp.where(valid, lut_count_ge(cnt_s, vmin_s, rs, cutoff), 0)
+        cum_i = fast_cumsum(cnt_i)
+        cand, jj, valid_i, _ = seg_expand(cnt_i, cum_i, caps[si])
+        level_totals.append(cum_i[-1])
+        rsr = rs[cand]
+        score = jnp.where(
+            valid_i, score[cand] + scores_s[rsr, jj].astype(jnp.int32), 0)
+        code = code[cand] + idx_s[rsr, jj] * np.int32(mults[si])
+        win = win[cand]
+        valid = valid_i
+
+    qid = win // np.int32(Wmax)
+    qpos = win - qid * np.int32(Wmax)
+    code = jnp.clip(code, 0, offsets32.shape[0] - 2)
+    starts = offsets32[code]
+    counts = jnp.where(valid, offsets32[code + 1] - starts, 0)
+    return starts, counts, qpos, qid, jnp.stack(level_totals)
+
+
+def stage_candidates(starts, counts, qpos, qid, entries_seq, entries_pos,
+                     *, h_cap, c_cap, nt=None):
+    """Posting expansion + (qid,id) sort + double-diagonal detection +
+    compaction. Returns (cqid, cid, cdiag, cvalid, n_cand, total).
+
+    `nt` (static target count) enables the packed fast path: the
+    (qid, id) pair becomes ONE i32 key qid*nt+id, so the h_cap-sized
+    stable sort carries 2 arrays with 1 key instead of 4 arrays with 2
+    keys, and the duplicate-run scan carries 2 i32 arrays instead of 4 —
+    the sort over h_cap is the most expensive op in the whole prefilter
+    pipeline (XLA TPU sort cost scales with total carried bytes). All
+    packing stays in i32: x64 is disabled and TPUs emulate i64."""
+    # -- expansion
+    cum = fast_cumsum(counts)
+    trip, within, valid, total = seg_expand(counts, cum, h_cap)
     ent = jnp.where(valid, starts[trip] + within, 0)
-    ids = jnp.where(valid, entries_seq[ent], I32_MAX)
+    ids = entries_seq[ent]
     tpos = entries_pos[ent].astype(jnp.int32)    # u16 packed entries
     diag = (qpos[trip] - tpos) & 0xFFFF
-    hqid = jnp.where(valid, qid[trip], I32_MAX)
+    hqid = qid[trip]
 
-    # -- stable sort by (qid, id)
-    hqid, ids, diag, valid = jax.lax.sort(
-        (hqid, ids, diag, valid.astype(jnp.int32)), num_keys=2,
-        is_stable=True)
-    valid = valid.astype(bool)
+    # packed path requires qid*nt+id < 2^31; callers guarantee B*nt
+    # bounds via the static nt (B <= 128 in the flush loop)
+    if nt is not None and nt > 0:
+        qtid = jnp.where(valid, hqid * np.int32(nt) + ids, I32_MAX)
+        qtid, diag = jax.lax.sort((qtid, diag), num_keys=1, is_stable=True)
+        valid = qtid != I32_MAX
+        hqid = jnp.where(valid, qtid // np.int32(nt), I32_MAX)
+        ids = jnp.where(valid, qtid % np.int32(nt), I32_MAX)
+        d8 = diag & 0xFF
+        first_of_id = qtid != _shift1(qtid, -1)
+        dup = jnp.where(first_of_id, d8 == 0, d8 == _shift1(d8, 0)) & valid
+        # "last dup wins" scan over 2 packed i32s: (dup<<8|d8, qtid)
+        fd = jnp.where(dup, 256, 0) | d8
 
-    # -- double-diagonal detection
-    d8 = diag & 0xFF
-    first_of_id = (hqid != _shift1(hqid, -1)) | (ids != _shift1(ids, -1))
-    dup = jnp.where(first_of_id, d8 == 0, d8 == _shift1(d8, 0)) & valid
+        def combine(a, b):
+            af, aq = a
+            bf, bq = b
+            take_b = bf >= 256
+            return (jnp.where(take_b, bf, af), jnp.where(take_b, bq, aq))
 
-    def combine(a, b):
-        av, aq, ai, ad = a
-        bv, bq, bi, bd = b
-        return (av | bv, jnp.where(bv, bq, aq), jnp.where(bv, bi, ai),
-                jnp.where(bv, bd, ad))
+        pf, pq = jax.lax.associative_scan(combine, (fd, qtid))
+        pf = _shift1(pf, 0)
+        pq = _shift1(pq, -1)
+        run_dup = (pf >= 256) & ((pf & 0xFF) == d8) & (pq == qtid)
+        cand = dup & ~run_dup
+    else:
+        ids = jnp.where(valid, ids, I32_MAX)
+        hqid = jnp.where(valid, hqid, I32_MAX)
+        # -- stable sort by (qid, id)
+        hqid, ids, diag, valid = jax.lax.sort(
+            (hqid, ids, diag, valid.astype(jnp.int32)), num_keys=2,
+            is_stable=True)
+        valid = valid.astype(bool)
 
-    pv, pq, pi, pd = jax.lax.associative_scan(combine, (dup, hqid, ids, d8))
-    pv = _shift1(pv, False)
-    pq = _shift1(pq, -1)
-    pi = _shift1(pi, -1)
-    pd = _shift1(pd, -1)
-    run_dup = pv & (pq == hqid) & (pi == ids) & (pd == d8)
-    cand = dup & ~run_dup
+        # -- double-diagonal detection
+        d8 = diag & 0xFF
+        first_of_id = (hqid != _shift1(hqid, -1)) \
+            | (ids != _shift1(ids, -1))
+        dup = jnp.where(first_of_id, d8 == 0, d8 == _shift1(d8, 0)) & valid
+
+        def combine(a, b):
+            av, aq, ai, ad = a
+            bv, bq, bi, bd = b
+            return (av | bv, jnp.where(bv, bq, aq), jnp.where(bv, bi, ai),
+                    jnp.where(bv, bd, ad))
+
+        pv, pq, pi, pd = jax.lax.associative_scan(
+            combine, (dup, hqid, ids, d8))
+        pv = _shift1(pv, False)
+        pq = _shift1(pq, -1)
+        pi = _shift1(pi, -1)
+        pd = _shift1(pd, -1)
+        run_dup = pv & (pq == hqid) & (pi == ids) & (pd == d8)
+        cand = dup & ~run_dup
 
     # -- compaction
     n_cand = jnp.sum(cand.astype(jnp.int32))
-    pos = jnp.cumsum(cand.astype(jnp.int32)) - 1
+    pos = fast_cumsum(cand.astype(jnp.int32)) - 1
     wpos = jnp.where(cand & (pos < c_cap), pos, c_cap)
     cqid = jnp.full(c_cap + 1, I32_MAX, jnp.int32).at[wpos].set(
         hqid, mode="drop")[:c_cap]
@@ -82,7 +247,7 @@ def stage_candidates(starts, counts, qpos, qid, entries_seq, entries_pos,
         ids, mode="drop")[:c_cap]
     cdiag = jnp.zeros(c_cap + 1, jnp.int32).at[wpos].set(
         diag, mode="drop")[:c_cap]
-    cvalid = jnp.arange(c_cap) < n_cand
+    cvalid = jnp.arange(c_cap) < jnp.minimum(n_cand, c_cap)
     return cqid, cid, cdiag, cvalid, n_cand, total
 
 
@@ -115,6 +280,70 @@ def make_rescore(t_cat, t_offsets, t_lens, prof, q_lens,
                 jnp.int32)                       # i8 packed residues
             qrow = jnp.minimum(qs_k[:, None] + l, lq_max - 1)
             s = prof_flat[(qid_k[:, None] * lq_max + qrow) * alpha + tc]
+            s = jnp.where(active, s, 0)
+            cums = jnp.cumsum(s, axis=1)
+            minpre = jnp.minimum(
+                0, jnp.concatenate(
+                    [jnp.zeros((s.shape[0], 1), s.dtype),
+                     jax.lax.cummin(cums, axis=1)[:, :-1]], axis=1))
+            run = jnp.where(active, cums - minpre, 0)
+            return jnp.max(run, axis=1)
+
+        C = qid_s.shape[0]
+        nchunk = -(-C // chunk)
+        padded = [jnp.pad(x, (0, nchunk * chunk - C))
+                  for x in (qid_s, qs, base, n)]
+        stacked = [x.reshape(nchunk, chunk) for x in padded]
+        if n_valid is None:
+            sc = jax.lax.map(score_chunk, tuple(stacked)).reshape(-1)[:C]
+        else:
+            n_act = jnp.minimum((n_valid + chunk - 1) // chunk, nchunk)
+
+            def body(i, out):
+                row = score_chunk(tuple(x[i] for x in stacked))
+                return jax.lax.dynamic_update_index_in_dim(out, row, i, 0)
+
+            sc = jax.lax.fori_loop(
+                0, n_act, body,
+                jnp.zeros((nchunk, chunk), jnp.int32)).reshape(-1)[:C]
+        if cap:
+            sc = jnp.minimum(sc, UCHAR_MAX)
+        return jnp.where(valid_c, jnp.maximum(sc, 0), 0)
+
+    return rescore
+
+
+def make_rescore_from_letters(t_cat, t_offsets, t_lens, q_pad, corr,
+                              submat, q_lens, *, lq_max, ln_max, chunk):
+    """make_rescore without a materialized per-query profile: the score of
+    (query row, target residue) is submat[q_letter, t_letter] + corr[row]
+    — two small-table gathers instead of one from a (B, lq, A) profile,
+    so the profile never crosses the host->device tunnel."""
+    alpha = submat.shape[1]
+    submat_flat = submat.reshape(-1).astype(jnp.int32)
+    q_flat = q_pad.reshape(-1)
+    corr_flat = corr.reshape(-1)
+
+    def rescore(qid_c, id_c, diag_c, valid_c, cap, n_valid=None):
+        qid_s = jnp.where(valid_c, qid_c, 0)
+        id_s = jnp.where(valid_c, id_c, 0)
+        d = ((diag_c + 0x8000) & 0xFFFF) - 0x8000
+        qs = jnp.maximum(d, 0)
+        ts = jnp.maximum(-d, 0)
+        n = jnp.minimum(t_lens[id_s] - ts, q_lens[qid_s] - qs)
+        n = jnp.where(valid_c, jnp.maximum(n, 0), 0)
+        base = t_offsets[id_s] + ts
+
+        def score_chunk(args):
+            qid_k, qs_k, base_k, n_k = args
+            l = jnp.arange(ln_max, dtype=jnp.int32)[None, :]
+            active = l < n_k[:, None]
+            tc = t_cat[jnp.where(active, base_k[:, None] + l, 0)].astype(
+                jnp.int32)
+            qrow = qid_k[:, None] * lq_max + jnp.minimum(
+                qs_k[:, None] + l, lq_max - 1)
+            ql = q_flat[qrow]
+            s = submat_flat[ql * alpha + tc] + corr_flat[qrow]
             s = jnp.where(active, s, 0)
             cums = jnp.cumsum(s, axis=1)
             minpre = jnp.minimum(
@@ -192,10 +421,17 @@ def stage_select(cqid, cid, cdiag, cscore, cvalid, is_best, thr, identity,
     qthr = thr[jnp.where(cvalid, cqid, 0)]
     is_ident = cid == identity[jnp.where(cvalid, cqid, 0)]
     sel = is_best & (cscore >= qthr) & ~is_ident
-    sq, ss, sid2, sdiag2, ssel = jax.lax.sort(
-        (jnp.where(sel, cqid, I32_MAX), 255 - cscore, cid, cdiag,
-         sel.astype(jnp.int32)), num_keys=3, is_stable=True)
-    ssel = ssel.astype(bool)
+    # packed 2-key i32 sort: (qid<<8 | 255-score, id) — the (qid, id)
+    # pair is unique post-keepmax so (key1, key2) is unique and
+    # stability is irrelevant; 3 carried arrays instead of 5. i32 only:
+    # x64 is off and TPUs emulate i64. Needs n_q < 2^23 (flush batches
+    # are <=128 queries).
+    key = jnp.where(sel, cqid * 256 + (255 - cscore), I32_MAX)
+    key, sid2, sdiag2 = jax.lax.sort(
+        (key, jnp.where(sel, cid, I32_MAX), cdiag), num_keys=2)
+    ssel = key != I32_MAX
+    sq = jnp.where(ssel, key // 256, I32_MAX)
+    ss = jnp.where(ssel, key & 0xFF, 0)
     gidx = jnp.arange(c_cap, dtype=jnp.int32)
     qfirst = jnp.concatenate([jnp.ones(1, bool), sq[1:] != sq[:-1]])
     seg_start = jax.lax.associative_scan(

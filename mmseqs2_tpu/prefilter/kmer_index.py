@@ -190,6 +190,21 @@ class KmerIndexTable:
             if len(self.uniq_kmers) == 0:
                 z = np.zeros(len(kmer_indices), dtype=np.int64)
                 return z, z.copy()
+            if self.table_size <= (1 << 27):
+                # the hot path does ~10k lookups/query: a dense i32
+                # offsets array (<=512 MB at 2^27 slots) turns the
+                # binary search into two gathers
+                d = getattr(self, "_dense32", None)
+                if d is None:
+                    cnts = np.diff(self.offsets)
+                    tmp = np.zeros(self.table_size, np.int64)
+                    tmp[self.uniq_kmers] = cnts
+                    d = np.zeros(self.table_size + 1, np.int32)
+                    d[1:] = np.cumsum(tmp).astype(np.int32)
+                    self._dense32 = d
+                starts = d[kmer_indices].astype(np.int64)
+                counts = d[kmer_indices + 1] - starts
+                return starts, counts
             slot = np.searchsorted(self.uniq_kmers, kmer_indices)
             slot = np.minimum(slot, len(self.uniq_kmers) - 1)
             hit = self.uniq_kmers[slot] == kmer_indices
