@@ -380,35 +380,56 @@ def _run_device(par, qreader, treader, qdb, dev, matcher, query_is_profile,
     batch0 = []                  # device-stage-0 stream (short queries)
     reslens = []
 
-    def flush():
-        nonlocal batch, budget
-        if not batch:
-            return
-        queries = [b["q"] for b in batch]
-        idents = [b["ident"] for b in batch]
-        rps = [b.get("rp") for b in batch]
-        gens = [b.get("gen") for b in batch]
-        kw = {}
-        if can_prepare:
-            kw = {"prepared": [b["prep"] for b in batch],
-                  "fixed_shape": True}
-        hit_lists = dev.match_batch(
-            queries, idents,
-            rescore_profiles=(rps if any(r is not None for r in rps)
-                              else None),
-            generators=(gens if any(g is not None for g in gens)
-                        else None), **kw)
-        _write_batch(batch, hit_lists)
-        batch, budget = [], 0
+    pending = []                 # [(items, pending-handle)], 1-deep
 
-    def flush0():
+    def flush(drain=False):
+        nonlocal batch, budget
+        if batch:
+            queries = [b["q"] for b in batch]
+            idents = [b["ident"] for b in batch]
+            rps = [b.get("rp") for b in batch]
+            gens = [b.get("gen") for b in batch]
+            kw = {}
+            if can_prepare:
+                kw = {"prepared": [b["prep"] for b in batch],
+                      "fixed_shape": True}
+            if hasattr(dev, "match_batch_async"):
+                pend = dev.match_batch_async(
+                    queries, idents,
+                    rescore_profiles=(rps if any(r is not None
+                                                 for r in rps) else None),
+                    generators=(gens if any(g is not None for g in gens)
+                                else None), **kw)
+                pending.append((batch, pend))
+            else:
+                hit_lists = dev.match_batch(
+                    queries, idents,
+                    rescore_profiles=(rps if any(r is not None
+                                                 for r in rps) else None),
+                    generators=(gens if any(g is not None for g in gens)
+                                else None), **kw)
+                _write_batch(batch, hit_lists)
+            batch, budget = [], 0
+        # keep one dispatch in flight (device crunches flush N while the
+        # host preps N+1 and writes N-1)
+        while pending and (drain or len(pending) > 1):
+            items, pend = pending.pop(0)
+            _write_batch(items, dev.match_batch_wait(pend))
+
+    pending0 = []                # [(items, pending-handle)], 1-deep
+
+    def flush0(drain=False):
         nonlocal batch0
-        if not batch0:
-            return
-        hit_lists = dev.match_batch_seq(
-            [b["q"] for b in batch0], [b["ident"] for b in batch0])
-        _write_batch(batch0, hit_lists)
-        batch0 = []
+        if batch0:
+            pend = dev.match_batch_seq_async(
+                [b["q"] for b in batch0], [b["ident"] for b in batch0])
+            pending0.append((batch0, pend))
+            batch0 = []
+        # keep one dispatch in flight: the device crunches flush N while
+        # the host preps N+1 and writes N-1
+        while pending0 and (drain or len(pending0) > 1):
+            items, pend = pending0.pop(0)
+            _write_batch(items, dev.match_batch_seq_wait(pend))
 
     def _write_batch(items, hit_lists):
         if writer is None:
@@ -418,7 +439,7 @@ def _run_device(par, qreader, treader, qdb, dev, matcher, query_is_profile,
                             hits)
             reslens.append(n)
 
-    for qid in range(qreader.size):
+    def make_item(qid):
         q_key = qreader.get_db_key(qid)
         identity_id = -1
         if same_db or par.include_identity:
@@ -442,6 +463,10 @@ def _run_device(par, qreader, treader, qdb, dev, matcher, query_is_profile,
         else:
             item["q"] = qdb.seq_num(qid)
             item["qlen"] = float(qreader.get_seq_len(qid))
+        return item
+
+    def consume(item):
+        nonlocal batch, budget
         if use_dev0 and len(item["q"]) <= dev.LQ0:
             # stage-0 runs on device: flush by query count; volume
             # overflow is detected on device and retried split. Queries
@@ -452,11 +477,9 @@ def _run_device(par, qreader, treader, qdb, dev, matcher, query_is_profile,
             if len(batch0) >= dev.B_PAD:
                 flush0()
         elif can_prepare:
-            # prepare (host stage-0) up front so the flush decision sees
-            # the ACTUAL expansion volume, and every flush fits the one
-            # fixed (B_PAD, H_CAP_FIXED) compiled program
-            item["prep"] = dev.prepare_query(
-                item["q"], item.get("rp"), item.get("gen"))
+            # prepared up front (threaded) so the flush decision sees the
+            # ACTUAL expansion volume, and every flush fits the one fixed
+            # (B_PAD, H_CAP_FIXED) compiled program
             vol = int(item["prep"][1].sum())
             if batch and (budget + vol > dev.H_CAP_FIXED
                           or len(batch) >= dev.B_PAD):
@@ -469,8 +492,30 @@ def _run_device(par, qreader, treader, qdb, dev, matcher, query_is_profile,
             budget += len(item["q"])
             if len(batch) >= 64 or budget >= 1 << 16:
                 flush()
-    flush()
-    flush0()
+
+    if can_prepare:
+        # host stage-0 across a thread pool, CHUNK items ahead (numpy
+        # releases the GIL in the bulk ops; the reference's analogue is
+        # the per-thread QueryMatcher loop, Prefiltering.cpp:605-689)
+        import os as _os
+        from concurrent.futures import ThreadPoolExecutor
+        CHUNK = 256
+        workers = min(8, _os.cpu_count() or 4)
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            def prep(item):
+                if not (use_dev0 and len(item["q"]) <= dev.LQ0):
+                    item["prep"] = dev.prepare_query(
+                        item["q"], item.get("rp"), item.get("gen"))
+                return item
+            for lo in range(0, qreader.size, CHUNK):
+                hi = min(lo + CHUNK, qreader.size)
+                for item in pool.map(prep, map(make_item, range(lo, hi))):
+                    consume(item)
+    else:
+        for qid in range(qreader.size):
+            consume(make_item(qid))
+    flush(drain=True)
+    flush0(drain=True)
     if writer is not None:
         writer.close()
         _print_statistics(None, reslens, qreader.size, par.max_seqs)

@@ -62,6 +62,10 @@ def _device_match(starts, counts, qpos, qid,          # (K,) triples
                   prof, q_lens, identity,             # (B,Lq,A), (B,), (B,)
                   *, h_cap, c_cap, n_q, lq_max, ln_max, max_hits,
                   min_diag_thr, chunk, out_sz, nt=None):
+    # fixed-shape callers ship qpos as u16 and qid as u8 (–30% transfer
+    # bytes through the ~60 MB/s tunnel); widen on device
+    qpos = qpos.astype(jnp.int32)
+    qid = qid.astype(jnp.int32)
     cqid, cid, cdiag, cvalid, n_cand, total = stage_candidates(
         starts, counts, qpos, qid, entries_seq, entries_pos,
         h_cap=h_cap, c_cap=c_cap, nt=nt)
@@ -494,13 +498,13 @@ class DevicePrefilter:
               and hasattr(self, "d_entries_seq")
               and getattr(self.index, "offsets", None) is not None)
         if ok:
-            env = os.environ.get("MMSEQS2_TPU_STAGE0", "")
-            if env == "0":
-                ok = False
-            elif env != "1" and jax.default_backend() == "cpu":
-                # CPU backend: the 64M-element table sort is minutes of
-                # host time; keep the host stage-0 there unless forced
-                ok = False
+            # Opt-in (MMSEQS2_TPU_STAGE0=1): on the current chip XLA's
+            # elementwise gathers run at ~12 ns/element, so the on-device
+            # expansion (~40M gathers/flush) loses to the vectorized host
+            # stage-0 + packed transfers (42 vs 15 ms/query measured on
+            # the 50k bench index). The path is kept correct + tested as
+            # the design point for a Pallas row-DMA expansion kernel.
+            ok = os.environ.get("MMSEQS2_TPU_STAGE0", "") == "1"
         if ok:
             from .kmer_generator import KmerGenerator
             ok = (type(self.generator) is KmerGenerator
@@ -534,13 +538,22 @@ class DevicePrefilter:
     def match_batch_seq(self, queries, identity_ids):
         """match_batch for plain sequence queries with stage-0 on device:
         ships ~(B, 512) letters + per-window thresholds, nothing else."""
+        return self.match_batch_seq_wait(
+            self.match_batch_seq_async(queries, identity_ids))
+
+    def match_batch_seq_async(self, queries, identity_ids):
+        """Dispatch half of match_batch_seq: host prep + both device
+        programs, NO result fetch. Returns a pending handle for
+        match_batch_seq_wait — callers can dispatch flush N+1 before
+        fetching flush N so device compute overlaps host work (every
+        fetch through the runtime tunnel blocks ~35 ms+)."""
         B = len(queries)
         results = [[] for _ in range(B)]
         for b in range(B):
             if identity_ids[b] >= 0:
                 results[b].append((identity_ids[b], USHRT_MAX, 0))
         if self.n_targets == 0:
-            return results
+            return {"done": results}
         n_q = self.B_PAD
         lq = self.LQ0
         span = int(self.index.span)
@@ -594,9 +607,23 @@ class DevicePrefilter:
             ln_max=ln_max, max_hits=self.max_hits,
             min_diag_thr=self.min_diag_thr, chunk=4096, out_sz=out_sz,
             nt=nt)
-        big = np.asarray(big)
-        small = np.asarray(small)
-        s0_small = np.asarray(s0_small)
+        return {"queries": queries, "identity_ids": identity_ids,
+                "results": results, "big": big, "small": small,
+                "s0_small": s0_small, "caps": caps, "n_q": n_q}
+
+    def match_batch_seq_wait(self, pend):
+        """Fetch + post-process a match_batch_seq_async dispatch."""
+        if "done" in pend:
+            return pend["done"]
+        queries = pend["queries"]
+        identity_ids = pend["identity_ids"]
+        results = pend["results"]
+        caps = pend["caps"]
+        n_q = pend["n_q"]
+        B = len(queries)
+        big = np.asarray(pend["big"])
+        small = np.asarray(pend["small"])
+        s0_small = np.asarray(pend["s0_small"])
         n_levels = len(self._s0_steps)
         n_cand = int(small[0])
         total = (int(s0_small[n_levels]) << 16) + int(s0_small[n_levels + 1])
@@ -643,19 +670,28 @@ class DevicePrefilter:
         flush decision can see actual expansion volumes. `fixed_shape`:
         pad the batch to (B_PAD, H_CAP_FIXED, C_CAP_FIXED) so every flush
         reuses one compiled program."""
+        return self.match_batch_wait(self.match_batch_async(
+            queries, identity_ids, rescore_profiles, generators,
+            prepared, fixed_shape))
+
+    def match_batch_async(self, queries, identity_ids,
+                          rescore_profiles=None, generators=None,
+                          prepared=None, fixed_shape=False):
+        """Dispatch half of match_batch (see match_batch_seq_async for the
+        pipelining contract)."""
         B = len(queries)
         if (prepared is None and rescore_profiles is None
                 and generators is None
                 and all(len(q) <= self.LQ0 for q in queries)
                 and self._ensure_stage0()):
             if B <= self.B_PAD:
-                return self.match_batch_seq(queries, identity_ids)
+                return self.match_batch_seq_async(queries, identity_ids)
             out = []
             for lo in range(0, B, self.B_PAD):
                 out += self.match_batch_seq(
                     queries[lo:lo + self.B_PAD],
                     identity_ids[lo:lo + self.B_PAD])
-            return out
+            return {"done": out}
         if prepared is None:
             prepared = [
                 self.prepare_query(
@@ -675,7 +711,7 @@ class DevicePrefilter:
             if identity_ids[b] >= 0:
                 results[b].append((identity_ids[b], USHRT_MAX, 0))
         if total == 0 or self.n_targets == 0:
-            return results
+            return {"done": results}
 
         # fixed shape only pays off when flushes are large: padding a
         # toy batch to H_CAP_FIXED would turn a 1k-element sort into a
@@ -709,12 +745,12 @@ class DevicePrefilter:
                 if gen is not None:
                     self.host_fallback.generator = gen
                 rp = rescore_profiles[0] if rescore_profiles else None
-                return [self.host_fallback.match(
+                return {"done": [self.host_fallback.match(
                     queries[0], identity_ids[0], diagonal_scoring=True,
-                    rescore_profile=rp)]
-            return self._split_batch(queries, identity_ids,
-                                     rescore_profiles, generators,
-                                     prepared, fixed_shape)
+                    rescore_profile=rp)]}
+            return {"done": self._split_batch(queries, identity_ids,
+                                              rescore_profiles, generators,
+                                              prepared, fixed_shape)}
         pad = k_cap - K
         starts = np.pad(starts, (0, pad))
         counts = np.pad(counts, (0, pad))
@@ -725,6 +761,9 @@ class DevicePrefilter:
         idents[:B] = identity_ids
         qlens_pad = np.ones(n_q, np.int32)
         qlens_pad[:B] = qlens
+        if max(qlens) < (1 << 16) and n_q <= 255:
+            qpos = qpos.astype(np.uint16)     # widened on device
+            qid = qid.astype(np.uint8)
 
         # packed-key candidate sort needs n_q*nt < 2^31
         nt = self.n_targets if n_q * max(self.n_targets, 1) < (1 << 31) \
@@ -740,18 +779,37 @@ class DevicePrefilter:
             ln_max=ln_max, max_hits=self.max_hits,
             min_diag_thr=self.min_diag_thr,
             chunk=min(4096, c_cap), out_sz=out_sz, nt=nt)
-        big = np.asarray(big)
-        small = np.asarray(small)
+        return {"queries": queries, "identity_ids": identity_ids,
+                "rescore_profiles": rescore_profiles,
+                "generators": generators, "prepared": prepared,
+                "fixed_shape": fixed_shape, "results": results,
+                "big": big, "small": small, "n_q": n_q, "c_cap": c_cap}
+
+    def match_batch_wait(self, pend):
+        """Fetch + post-process a match_batch_async dispatch."""
+        if "done" in pend:
+            return pend["done"]
+        if "s0_small" in pend:
+            return self.match_batch_seq_wait(pend)
+        queries = pend["queries"]
+        identity_ids = pend["identity_ids"]
+        rescore_profiles = pend["rescore_profiles"]
+        generators = pend["generators"]
+        results = pend["results"]
+        n_q, c_cap = pend["n_q"], pend["c_cap"]
+        B = len(queries)
+        big = np.asarray(pend["big"])
+        small = np.asarray(pend["small"])
         oq, oid, odiag, ofs, oval = big
         n_cand, truncated = int(small[0]), small[3:3 + n_q].astype(bool)
         if n_cand > c_cap:
             # candidate overflow past the fixed compaction cap: re-run
             # split so no candidate is dropped (rare: C_CAP_FIXED holds
-            # ~0.5M per-diagonal double-hits per flush)
+            # ~0.1M per-diagonal double-hits per flush)
             if B > 1:
-                return self._split_batch(queries, identity_ids,
-                                         rescore_profiles, generators,
-                                         prepared, fixed_shape)
+                return self._split_batch(
+                    queries, identity_ids, rescore_profiles, generators,
+                    pend["prepared"], pend["fixed_shape"])
             if self.host_fallback is not None:
                 gen = generators[0] if generators else None
                 if gen is not None:
@@ -762,14 +820,16 @@ class DevicePrefilter:
                     rescore_profile=rp)]
             raise MemoryError(f"candidate volume {n_cand} exceeds c_cap")
 
-        for i in range(len(oq)):
-            if not oval[i]:
+        sel = np.nonzero(oval.astype(bool) & (oq < B))[0]
+        oqs, oids, ofss = oq[sel], oid[sel], ofs[sel]
+        diags = np.int16(odiag[sel].astype(np.uint16))
+        bounds = np.searchsorted(oqs, np.arange(B + 1))
+        for b in range(B):
+            if truncated[b]:
                 continue
-            b = int(oq[i])
-            if b >= B or truncated[b]:
-                continue
-            results[b].append((int(oid[i]), int(ofs[i]),
-                               int(np.int16(np.uint16(odiag[i])))))
+            for i in range(int(bounds[b]), int(bounds[b + 1])):
+                results[b].append((int(oids[i]), int(ofss[i]),
+                                   int(diags[i])))
         if truncated[:B].any() and self.host_fallback is not None:
             for b in np.nonzero(truncated[:B])[0]:
                 gen = generators[b] if generators else None
