@@ -34,9 +34,23 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .aot_cache import aot_call, source_hash
+
 NEG = -1e9
 DEFAULT_BT = 512
 DEFAULT_U = 8
+_SRC = source_hash(__file__)
+
+
+def _sw_exec(args, **static):
+    """_sw_call through the AOT executable cache: skips the multi-second
+    per-shape Pallas re-trace in every fresh process (see aot_cache)."""
+    if static.get("interpret"):
+        return _sw_call(*args, **static)
+    return aot_call(
+        lambda: jax.jit(functools.partial(_sw_call.__wrapped__, **static)),
+        ("sw", _SRC, tuple(sorted(static.items()))), args,
+        lambda *a: _sw_call(*a, **static))
 
 
 def pack_targets(targets_t, BT: int, U: int):
@@ -376,7 +390,7 @@ def sw_pallas(profile, targets_t, go=11, ge=1, gapless=False, cap=255,
     pack = 0 <= bound < (1 << 24) // _pk_for(lt) - 1
     prof_t, tpk, lt, b, eff_bt = _prep(profile, targets_t, ge, gapless,
                                        DEFAULT_BT, DEFAULT_U)
-    s, qe, te = _sw_call(prof_t, tpk, go=go, ge=ge, gapless=gapless,
+    s, qe, te = _sw_exec((prof_t, tpk), go=go, ge=ge, gapless=gapless,
                          cap=cap, track=True, pack=pack, unroll=DEFAULT_U,
                          bt=eff_bt, interpret=interpret)
     return s[:b], qe[:b], te[:b]
@@ -403,7 +417,7 @@ def sw_pallas_offset(profile, targets_t, qoff, go=11, ge=1, cap=255,
     bp = tpk.shape[1]
     if qoff.shape[0] != bp:       # match the padded batch (one jit shape)
         qoff = jnp.pad(qoff, (0, bp - qoff.shape[0]))
-    s, qe, te = _sw_call(prof_t, tpk, qoff,
+    s, qe, te = _sw_exec((prof_t, tpk, qoff),
                          go=go, ge=ge, gapless=False, cap=cap, track=True,
                          pack=pack, unroll=DEFAULT_U, bt=eff_bt,
                          interpret=interpret)
@@ -448,7 +462,7 @@ def sw_pallas_multi(prof_flat, targets_t, qsel, qoff=None, go=11, ge=1,
     bp = tpk.shape[1]
     if qoff.shape[0] != bp:
         qoff = jnp.pad(qoff, (0, bp - qoff.shape[0]))
-    s, qe, te = _sw_call(prof_t, tpk, qoff, qsel,
+    s, qe, te = _sw_exec((prof_t, tpk, qoff, qsel),
                          go=go, ge=ge, gapless=False, cap=255, track=True,
                          pack=pack, unroll=DEFAULT_U, bt=eff_bt,
                          interpret=interpret, nq=nq)
@@ -459,7 +473,7 @@ def sw_pallas_score(profile, targets_t, go=11, ge=1, interpret=False):
     """Scores only (no end tracking) — the fast bulk-scan path."""
     prof_t, tpk, lt, b, eff_bt = _prep(profile, targets_t, ge, False,
                                        DEFAULT_BT, DEFAULT_U)
-    (s,) = _sw_call(prof_t, tpk, go=go, ge=ge, gapless=False,
+    (s,) = _sw_exec((prof_t, tpk), go=go, ge=ge, gapless=False,
                     cap=0, track=False, pack=False, unroll=DEFAULT_U,
                     bt=eff_bt, interpret=interpret)
     return s[:b]
@@ -469,7 +483,7 @@ def gapless_pallas_score(profile, targets_t, cap=255, interpret=False):
     """Gapless best-diagonal scores — the ungappedprefilter scan."""
     prof_t, tpk, lt, b, eff_bt = _prep(profile, targets_t, 0, True,
                                        DEFAULT_BT, DEFAULT_U)
-    (s,) = _sw_call(prof_t, tpk, go=0, ge=0, gapless=True,
+    (s,) = _sw_exec((prof_t, tpk), go=0, ge=0, gapless=True,
                     cap=cap, track=False, pack=False, unroll=DEFAULT_U,
                     bt=eff_bt, interpret=interpret)
     return s[:b]
