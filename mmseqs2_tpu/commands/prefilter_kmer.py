@@ -260,8 +260,8 @@ def prefilter_kmer(par, command):
     if query_is_profile or take_only_best:
         generator = None      # per-query rows / exact match only
     else:
-        three = SubKmerScores(seed.sub_matrix, alpha, 3)
-        two = SubKmerScores(seed.sub_matrix, alpha, 2)
+        three = SubKmerScores(seed.sub_matrix, alpha, 3).attach_disk_cache()
+        two = SubKmerScores(seed.sub_matrix, alpha, 2).attach_disk_cache()
         generator = KmerGenerator(kmer_size, alpha, three, two)
 
     matcher = QueryMatcher(

@@ -35,13 +35,15 @@ def source_hash(path):
         return hashlib.sha256(f.read()).hexdigest()[:16]
 
 
-def aot_call(make_fn, key_parts, args, fallback):
+def aot_call(make_exec, key_parts, args, fallback):
     """Run a jitted program through the AOT cache.
 
-    make_fn: () -> jax.jit-wrapped callable taking exactly `args` (only
-    invoked on a cache miss). key_parts: hashable config description
-    (include a source hash so kernel edits invalidate). fallback: called
-    with *args when export/deserialize is unavailable."""
+    make_exec: () -> jax.stages.Compiled taking exactly `args` (only
+    invoked on a cache miss; use the ORIGINAL jit fn's .lower().compile()
+    so the XLA persistent cache key matches the normal path). key_parts:
+    hashable config description (include a source hash so kernel edits
+    invalidate). fallback: called with *args when serialization is
+    unavailable."""
     import jax
     loc = _cache_dir()
     if loc is None:
@@ -72,8 +74,7 @@ def aot_call(make_fn, key_parts, args, fallback):
                 ex = None
         if ex is None:
             try:
-                import jax as _jax
-                compiled = make_fn().lower(*args).compile()
+                compiled = make_exec()
                 payload, in_tree, out_tree = se.serialize(compiled)
                 os.makedirs(loc, exist_ok=True)
                 tmp = path + f".tmp{os.getpid()}"

@@ -48,7 +48,7 @@ def _sw_exec(args, **static):
     if static.get("interpret"):
         return _sw_call(*args, **static)
     return aot_call(
-        lambda: jax.jit(functools.partial(_sw_call.__wrapped__, **static)),
+        lambda: _sw_call.lower(*args, **static).compile(),
         ("sw", _SRC, tuple(sorted(static.items()))), args,
         lambda *a: _sw_call(*a, **static))
 

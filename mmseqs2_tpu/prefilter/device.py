@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.aot_cache import aot_call, source_hash
 from ..ops.encode import calc_local_aa_bias
 from ..utils.jaxcache import enable_jax_compile_cache
 from .device_stages import (BIG, I32_MAX, bucket as _bucket, fast_cumsum,
@@ -158,6 +159,22 @@ def _device_match_letters(starts, counts, qpos, qid,
     return big, small
 
 
+def _aot(fn_jit, name, args, **static):
+    """Route a jitted prefilter program through the AOT executable cache
+    (ops/aot_cache): a fresh process otherwise re-traces each shape for
+    seconds before the XLA disk cache even applies. CPU backend (tests)
+    keeps the plain jit path."""
+    if jax.default_backend() == "cpu":
+        return fn_jit(*args, **static)
+    from . import device_stages as _ds
+    key = (name, _SRC_HASH, source_hash(_ds.__file__),
+           tuple(sorted(static.items())))
+    return aot_call(
+        lambda: fn_jit.lower(*args, **static).compile(),
+        key, args, lambda *a: fn_jit(*a, **static))
+
+
+_SRC_HASH = source_hash(__file__)
 _TABLE_CACHE = {}
 
 
@@ -424,12 +441,13 @@ class DevicePrefilter:
         # per bucket — no grow-retry recompiles (each XLA compile costs
         # tens of seconds through the runtime tunnel)
         c_cap = h_cap
-        bq, bi, bd, bs, n_best, n_cand = _device_candidates(
-            jnp.asarray(starts), jnp.asarray(counts),
-            jnp.asarray(qpos), jnp.asarray(qid),
-            self.d_entries_seq, self.d_entries_pos,
-            self.d_t_cat, self.d_t_offsets, self.d_t_lens,
-            d_prof, d_qlens,
+        bq, bi, bd, bs, n_best, n_cand = _aot(
+            _device_candidates, "dc",
+            (jnp.asarray(starts), jnp.asarray(counts),
+             jnp.asarray(qpos), jnp.asarray(qid),
+             self.d_entries_seq, self.d_entries_pos,
+             self.d_t_cat, self.d_t_offsets, self.d_t_lens,
+             d_prof, d_qlens),
             h_cap=h_cap, c_cap=c_cap, n_q=B, lq_max=lq_max,
             ln_max=ln_max, chunk=min(4096, c_cap))
         n = int(n_best)
@@ -591,18 +609,20 @@ class DevicePrefilter:
         caps = self.CAPS3 if len(self._s0_steps) == 3 else self.CAPS2
         d_q_pad = jnp.asarray(q_pad)
         d_qlens = jnp.asarray(qlens_pad)
-        starts, counts, qposd, qidd, s0_small = _device_stage0(
-            d_q_pad, d_qlens, jnp.asarray(thr_win),
-            self._s0_tabs, self._s0_offsets32,
+        starts, counts, qposd, qidd, s0_small = _aot(
+            _device_stage0, "s0",
+            (d_q_pad, d_qlens, jnp.asarray(thr_win),
+             self._s0_tabs, self._s0_offsets32),
             pat=self._s0_pat, steps=self._s0_steps, mults=self._s0_mults,
             caps=caps, vmins=self._s0_vmins,
             steppowers=self._s0_steppowers, x_index=self.x_index)
-        big, small = _device_match_letters(
-            starts, counts, qposd, qidd,
-            self.d_entries_seq, self.d_entries_pos,
-            self.d_t_cat, self.d_t_offsets, self.d_t_lens,
-            d_q_pad, jnp.asarray(corr), self._d_submat, d_qlens,
-            jnp.asarray(idents),
+        big, small = _aot(
+            _device_match_letters, "ml",
+            (starts, counts, qposd, qidd,
+             self.d_entries_seq, self.d_entries_pos,
+             self.d_t_cat, self.d_t_offsets, self.d_t_lens,
+             d_q_pad, jnp.asarray(corr), self._d_submat, d_qlens,
+             jnp.asarray(idents)),
             h_cap=self.H0_CAP, c_cap=self.C0_CAP, n_q=n_q, lq_max=lq,
             ln_max=ln_max, max_hits=self.max_hits,
             min_diag_thr=self.min_diag_thr, chunk=4096, out_sz=out_sz,
@@ -769,12 +789,13 @@ class DevicePrefilter:
         nt = self.n_targets if n_q * max(self.n_targets, 1) < (1 << 31) \
             else None
         c_cap = self.C_CAP_FIXED if use_fixed else h_cap
-        big, small = _device_match(
-            jnp.asarray(starts), jnp.asarray(counts), jnp.asarray(qpos),
-            jnp.asarray(qid), self.d_entries_seq, self.d_entries_pos,
-            self.d_t_cat, self.d_t_offsets, self.d_t_lens,
-            jnp.asarray(prof_pad),
-            jnp.asarray(qlens_pad), jnp.asarray(idents),
+        big, small = _aot(
+            _device_match, "dm",
+            (jnp.asarray(starts), jnp.asarray(counts), jnp.asarray(qpos),
+             jnp.asarray(qid), self.d_entries_seq, self.d_entries_pos,
+             self.d_t_cat, self.d_t_offsets, self.d_t_lens,
+             jnp.asarray(prof_pad),
+             jnp.asarray(qlens_pad), jnp.asarray(idents)),
             h_cap=h_cap, c_cap=c_cap, n_q=n_q, lq_max=lq_max,
             ln_max=ln_max, max_hits=self.max_hits,
             min_diag_thr=self.min_diag_thr,

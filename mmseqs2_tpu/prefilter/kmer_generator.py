@@ -62,6 +62,40 @@ class SubKmerScores:
         return [(idx // int(self.powers[i])) % self.alpha
                 for i in range(self.k)]
 
+    def attach_disk_cache(self):
+        """Replace the lazy row fill with fully-precomputed tables mmapped
+        from a per-(matrix, alpha, k) disk cache (~460 MB for the 3-mer
+        table at A=20). First process computes + saves (~5 s); later
+        processes fault pages in on demand — the cold-start row fill was
+        ~4 s of argsort per fresh process at query scale."""
+        import hashlib
+        import os
+        loc = os.environ.get("MMSEQS2_TPU_AOT_CACHE",
+                             os.path.expanduser("~/.cache/mmseqs2_tpu/aot"))
+        if loc == "off":
+            return self
+        key = hashlib.sha256(
+            self.mat.tobytes() + bytes([self.alpha, self.k])
+        ).hexdigest()[:16]
+        base = os.path.join(loc, f"subk{self.k}_{key}")
+        names = ("scores", "idx", "cnt")
+        try:
+            if all(os.path.exists(f"{base}.{n}.npy") for n in names):
+                self._scores = np.load(f"{base}.scores.npy", mmap_mode="r")
+                self._idx = np.load(f"{base}.idx.npy", mmap_mode="r")
+                self._cnt = np.load(f"{base}.cnt.npy", mmap_mode="r")
+                self._have = np.ones(self.size, dtype=bool)
+                return self
+            self.ensure_rows(np.arange(self.size))
+            os.makedirs(loc, exist_ok=True)
+            for n, arr in zip(names, (self._scores, self._idx, self._cnt)):
+                tmp = f"{base}.{n}.npy.tmp{os.getpid()}"
+                np.save(tmp, arr)
+                os.replace(tmp, f"{base}.{n}.npy")
+        except Exception:
+            pass
+        return self
+
     def ensure_rows(self, idxs: np.ndarray):
         """Vectorized fill of any not-yet-computed rows in `idxs`."""
         idxs = np.unique(np.asarray(idxs, dtype=np.int64))
