@@ -23,6 +23,47 @@ import numpy as np
 
 NEG = -(1 << 40)
 
+_NATIVE = None
+
+
+def _native_lib():
+    """Compile-once native fill+traceback (native/banded_bt.cpp); returns
+    the ctypes lib or None (numpy fallback keeps working everywhere)."""
+    global _NATIVE
+    if _NATIVE is not None:
+        return _NATIVE or None
+    import ctypes
+    import hashlib
+    import os
+    import pathlib
+    import subprocess
+    _NATIVE = False
+    cpp = pathlib.Path(__file__).resolve().parents[2] / "native" \
+        / "banded_bt.cpp"
+    if not cpp.exists():
+        return None
+    cache = pathlib.Path(os.environ.get(
+        "MMSEQS2_TPU_CACHE", os.path.expanduser("~/.cache/mmseqs2_tpu")))
+    try:
+        cache.mkdir(parents=True, exist_ok=True)
+        h = hashlib.sha256(cpp.read_bytes()).hexdigest()[:16]
+        so = cache / f"banded_bt_{h}.so"
+        if not so.exists():
+            r = subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", str(cpp),
+                 "-o", str(so)], capture_output=True)
+            if r.returncode != 0:
+                return None
+        lib = ctypes.CDLL(str(so))
+        lib.banded_bt_c.restype = ctypes.c_long
+        lib.banded_bt_c.argtypes = [
+            ctypes.POINTER(ctypes.c_int64)] + [ctypes.c_long] * 6 \
+            + [ctypes.c_char_p]
+        _NATIVE = lib
+        return lib
+    except Exception:
+        return None
+
 
 def banded_align(db_win, q_win, comp_bias_win, score, gap_open, gap_extend,
                  sub_matrix):
@@ -49,6 +90,23 @@ def banded_align_scores(db_win, s_win, score, gap_open, gap_extend):
     ge = int(gap_extend)
 
     band_width = abs(dbL - qL) + 1
+    lib = _native_lib()
+    if lib is not None:
+        import ctypes
+        s_c = np.ascontiguousarray(s_win, dtype=np.int64)
+        buf = ctypes.create_string_buffer(int(qL + dbL + 2))
+        bw = band_width
+        while bw <= 2 * max(dbL, qL):
+            n = lib.banded_bt_c(
+                s_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                qL, dbL, bw, int(score), go, ge, buf)
+            if n >= 0:
+                return buf.raw[:n].decode()
+            if n == -2:
+                break            # inconsistency: reproduce via numpy path
+            bw *= 2
+        if bw > 2 * max(dbL, qL):
+            raise RuntimeError("banded_align: score not reached in full band")
     while True:
         ok, dirs = _banded_fill(s_win, qL, dbL, band_width, score, go, ge)
         if ok:
