@@ -213,7 +213,9 @@ def main():
     # end-to-end easy-search throughput (BASELINE driver metric:
     # "easy-search queries/s"); prebuilt 50k-target DB + .idx
     import os
+    import pathlib
     qps = hits = e2e_dt = 0
+    qps500 = hits500 = 0
     if os.environ.get("MMSEQS2_TPU_BENCH_E2E", "1") != "0":
         try:
             qps, hits, e2e_dt = _bench_easy_search()
@@ -222,6 +224,20 @@ def main():
                   file=sys.stderr)
         except Exception as e:
             print(f"easy-search e2e bench skipped: {e}", file=sys.stderr)
+        # BASELINE config-2-scale run (1k queries vs 500k targets), only
+        # when its prebuilt cache exists (building it costs ~12 min)
+        c500 = (pathlib.Path(__file__).parent / ".bench_cache"
+                / "scale_500k" / "tdb.idx")
+        if c500.exists():
+            try:
+                qps500, hits500, dt500 = _bench_easy_search(
+                    n_targets=500_000, n_queries=1000)
+                print(f"easy-search 500k: {qps500:.2f} queries/s "
+                      f"(1000 q vs 500k targets, {hits500} hits, "
+                      f"{dt500:.0f}s)", file=sys.stderr)
+            except Exception as e:
+                print(f"easy-search 500k bench skipped: {e}",
+                      file=sys.stderr)
     print(json.dumps({
         "metric": "sw_gcups",
         "value": round(gcups, 3),
@@ -232,6 +248,8 @@ def main():
             "kmer_matches_per_s": round(kmps, 0),
             "easy_search_qps": round(qps, 3),
             "easy_search_hits": hits,
+            "easy_search_500k_qps": round(qps500, 3),
+            "easy_search_500k_hits": hits500,
         },
     }))
 
