@@ -89,7 +89,9 @@ class SubKmerScores:
             self.ensure_rows(np.arange(self.size))
             os.makedirs(loc, exist_ok=True)
             for n, arr in zip(names, (self._scores, self._idx, self._cnt)):
-                tmp = f"{base}.{n}.npy.tmp{os.getpid()}"
+                # tmp must end in .npy or np.save appends it and the
+                # rename source never exists (cache silently never wrote)
+                tmp = f"{base}.{n}.tmp{os.getpid()}.npy"
                 np.save(tmp, arr)
                 os.replace(tmp, f"{base}.{n}.npy")
         except Exception:
