@@ -42,9 +42,9 @@ from ..ops.encode import calc_local_aa_bias
 from ..utils.jaxcache import enable_jax_compile_cache
 from .device_stages import (BIG, I32_MAX, bucket as _bucket, fast_cumsum,
                             make_rescore, make_rescore_from_letters,
-                            stage_candidates, stage_finalize, stage_hist,
-                            stage_keepmax, stage_select, stage_zero,
-                            threshold_from_hist)
+                            stage_candidates, stage_candidates_pre,
+                            stage_finalize, stage_hist, stage_keepmax,
+                            stage_select, stage_zero, threshold_from_hist)
 from .kmer_index import extract_kmers
 from .query_matcher import UCHAR_MAX, USHRT_MAX
 
@@ -53,25 +53,11 @@ from .query_matcher import UCHAR_MAX, USHRT_MAX
 # jitted core
 # --------------------------------------------------------------------------
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("h_cap", "c_cap", "n_q", "lq_max", "ln_max",
-                     "max_hits", "min_diag_thr", "chunk", "out_sz", "nt"))
-def _device_match(starts, counts, qpos, qid,          # (K,) triples
-                  entries_seq, entries_pos,           # (E,) index entries
-                  t_cat, t_offsets, t_lens,           # target store
-                  prof, q_lens, identity,             # (B,Lq,A), (B,), (B,)
-                  *, h_cap, c_cap, n_q, lq_max, ln_max, max_hits,
-                  min_diag_thr, chunk, out_sz, nt=None):
-    # fixed-shape callers ship qpos as u16 and qid as u8 (–30% transfer
-    # bytes through the ~60 MB/s tunnel); widen on device
-    qpos = qpos.astype(jnp.int32)
-    qid = qid.astype(jnp.int32)
-    cqid, cid, cdiag, cvalid, n_cand, total = stage_candidates(
-        starts, counts, qpos, qid, entries_seq, entries_pos,
-        h_cap=h_cap, c_cap=c_cap, nt=nt)
-    rescore = make_rescore(t_cat, t_offsets, t_lens, prof, q_lens,
-                           lq_max=lq_max, ln_max=ln_max, chunk=chunk)
+def _match_tail(rescore, cqid, cid, cdiag, cvalid, n_cand, total, identity,
+                *, c_cap, n_q, max_hits, min_diag_thr, out_sz):
+    """Stages 5-8 shared by every match program: rescore, keepmax,
+    histogram threshold, top-K selection, exact saturated scores, final
+    ordering, output packing."""
     cscore = rescore(cqid, cid, cdiag, cvalid, cap=True, n_valid=n_cand)
     is_best = stage_keepmax(cqid, cid, cscore, cvalid, c_cap=c_cap)
     hist = stage_hist(cqid, cscore, is_best, n_q=n_q, c_cap=c_cap)
@@ -95,6 +81,60 @@ def _device_match(starts, counts, qpos, qid,          # (K,) triples
         jnp.stack([n_cand, n_keep, total.astype(jnp.int32)]),
         truncated.astype(jnp.int32)])
     return big, small
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h_cap", "c_cap", "n_q", "lq_max", "ln_max",
+                     "max_hits", "min_diag_thr", "chunk", "out_sz", "nt"))
+def _device_match(starts, counts, qpos, qid,          # (K,) triples
+                  entries_seq, entries_pos,           # (E,) index entries
+                  t_cat, t_offsets, t_lens,           # target store
+                  prof, q_lens, identity,             # (B,Lq,A), (B,), (B,)
+                  *, h_cap, c_cap, n_q, lq_max, ln_max, max_hits,
+                  min_diag_thr, chunk, out_sz, nt=None):
+    # fixed-shape callers ship qpos as u16 and qid as u8 (–30% transfer
+    # bytes through the ~60 MB/s tunnel); widen on device
+    qpos = qpos.astype(jnp.int32)
+    qid = qid.astype(jnp.int32)
+    cqid, cid, cdiag, cvalid, n_cand, total = stage_candidates(
+        starts, counts, qpos, qid, entries_seq, entries_pos,
+        h_cap=h_cap, c_cap=c_cap, nt=nt)
+    rescore = make_rescore(t_cat, t_offsets, t_lens, prof, q_lens,
+                           lq_max=lq_max, ln_max=ln_max, chunk=chunk)
+    return _match_tail(rescore, cqid, cid, cdiag, cvalid, n_cand, total,
+                       identity, c_cap=c_cap, n_q=n_q, max_hits=max_hits,
+                       min_diag_thr=min_diag_thr, out_sz=out_sz)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("c_cap", "n_q", "lq_max", "ln_max",
+                     "max_hits", "min_diag_thr", "chunk", "out_sz", "nt"))
+def _device_match_pre(qtid, diag,                     # (H,) expansions
+                      t_cat, t_offsets, t_lens,       # target store
+                      q_pad, corr, submat, q_lens, identity,
+                      *, c_cap, n_q, lq_max, ln_max, max_hits,
+                      min_diag_thr, chunk, out_sz, nt):
+    """Match program for HOST-expanded flushes: the posting expansion
+    (contiguous-run numpy gathers, done in the prep thread pool) ships as
+    packed (qid*nt+id, u16 diag) pairs; the device starts at the sort and
+    rescores from query letters + bias correction (no profile transfer).
+    Replaces _device_match for plain sequence queries — the XLA random
+    gathers of the on-device expansion were ~70% of stage_candidates."""
+    cqid, cid, cdiag, cvalid, n_cand, total = stage_candidates_pre(
+        qtid, diag, c_cap=c_cap, nt=nt)
+    # materialize the per-query rescore profile ON DEVICE (one row-gather
+    # from the 32x32 submat + the bias-correction broadcast): the rescore
+    # then pays 2 gathers/cell like the profile path — the letters-based
+    # rescore's 4 gathers/cell cost more than the saved (B,Lq,A) transfer
+    prof = (submat[q_pad.astype(jnp.int32)]
+            + corr.astype(jnp.int32)[:, :, None])
+    rescore = make_rescore(t_cat, t_offsets, t_lens, prof, q_lens,
+                           lq_max=lq_max, ln_max=ln_max, chunk=chunk)
+    return _match_tail(rescore, cqid, cid, cdiag, cvalid, n_cand, total,
+                       identity, c_cap=c_cap, n_q=n_q, max_hits=max_hits,
+                       min_diag_thr=min_diag_thr, out_sz=out_sz)
 
 
 @functools.partial(
@@ -139,24 +179,9 @@ def _device_match_letters(starts, counts, qpos, qid,
     rescore = make_rescore_from_letters(
         t_cat, t_offsets, t_lens, q_pad, corr, submat, q_lens,
         lq_max=lq_max, ln_max=ln_max, chunk=chunk)
-    cscore = rescore(cqid, cid, cdiag, cvalid, cap=True, n_valid=n_cand)
-    is_best = stage_keepmax(cqid, cid, cscore, cvalid, c_cap=c_cap)
-    hist = stage_hist(cqid, cscore, is_best, n_q=n_q, c_cap=c_cap)
-    thr, truncated = threshold_from_hist(hist, max_hits, min_diag_thr)
-    kqid, kid, kdiag, kscore, kvalid = stage_select(
-        cqid, cid, cdiag, cscore, cvalid, is_best, thr, identity,
-        c_cap=c_cap, max_hits=max_hits, out_sz=out_sz)
-    n_keep = jnp.sum(kvalid.astype(jnp.int32))
-    sat = kvalid & (kscore >= UCHAR_MAX)
-    exact = rescore(kqid, kid, kdiag, sat, cap=False, n_valid=n_keep)
-    final_score = jnp.where(sat, exact, kscore)
-    oq, _, oid, odiag, ofs, oval = stage_finalize(
-        kqid, kid, kdiag, final_score, kvalid)
-    big = jnp.stack([oq, oid, odiag, ofs, oval.astype(jnp.int32)])
-    small = jnp.concatenate([
-        jnp.stack([n_cand, n_keep, total.astype(jnp.int32)]),
-        truncated.astype(jnp.int32)])
-    return big, small
+    return _match_tail(rescore, cqid, cid, cdiag, cvalid, n_cand, total,
+                       identity, c_cap=c_cap, n_q=n_q, max_hits=max_hits,
+                       min_diag_thr=min_diag_thr, out_sz=out_sz)
 
 
 def _aot(fn_jit, name, args, **static):
@@ -377,7 +402,16 @@ class DevicePrefilter:
         return codes, pos[win_of].astype(np.int32)
 
     def prepare_query(self, q_num, rescore_profile=None, generator=None):
-        """Host stage for one query: returns (starts, counts, qpos, prof)."""
+        """Host stage for one query.
+
+        Returns (starts, counts, qpos, prof[, corr, ids, diag]): the
+        7-tuple form (plain sequence queries) additionally carries the
+        i8 bias correction and the HOST-side posting expansion — target
+        ids (i32) and u16 diagonals per expanded match, in expansion
+        order. The expansion is contiguous-run gathers that numpy does at
+        memcpy speed here in the prep thread pool, feeding
+        _device_match_pre (profile queries keep the 4-tuple device
+        expansion path)."""
         if rescore_profile is not None:
             comp_bias = np.zeros(len(q_num), np.float32)
             prof = rescore_profile.astype(np.int32)
@@ -398,8 +432,28 @@ class DevicePrefilter:
         # index entirely (sparse k-mer space), and shipping them to the
         # device costs transfer + expansion capacity for nothing
         nz = c > 0
-        return (s[nz].astype(np.int32), c[nz].astype(np.int32), qpos[nz],
-                prof)
+        s, c, qpos = s[nz].astype(np.int32), c[nz].astype(np.int32), qpos[nz]
+        if rescore_profile is not None:
+            return (s, c, qpos, prof)
+        ids, diag = self._expand_host(s, c, qpos)
+        return (s, c, qpos, prof, corr.astype(np.int8), ids, diag)
+
+    def _expand_host(self, starts, counts, qpos):
+        """Posting expansion for one query: (ids i32, diag u16) per
+        expanded (query window, index entry) match, expansion order."""
+        total = int(counts.sum())
+        if total == 0:
+            return np.zeros(0, np.int32), np.zeros(0, np.uint16)
+        trip = np.repeat(np.arange(len(counts), dtype=np.int32), counts)
+        offs = np.concatenate([[0], np.cumsum(counts[:-1],
+                                              dtype=np.int64)])
+        within = np.arange(total, dtype=np.int64) - offs[trip]
+        ent = starts[trip].astype(np.int64) + within
+        ids = np.asarray(self.index.entries_seq)[ent].astype(np.int32)
+        tpos = np.asarray(self.index.entries_pos)[ent].astype(np.int32)
+        diag = ((qpos[trip].astype(np.int32) - tpos)
+                & 0xFFFF).astype(np.uint16)
+        return ids, diag
 
     def candidates_batch(self, prepared, qlens):
         """Split-mode building block: per-query candidate fragments.
@@ -733,6 +787,15 @@ class DevicePrefilter:
         if total == 0 or self.n_targets == 0:
             return {"done": results}
 
+        # plain sequence queries whose prep carries the host expansion
+        # take the pre-expanded program (device starts at the sort; no
+        # profile transfer) whenever the packed qid*nt+id key fits i32
+        if (rescore_profiles is None and generators is None
+                and all(len(p) >= 7 for p in prepared)
+                and max(B, self.B_PAD) * self.n_targets < (1 << 31)):
+            return self._match_pre_async(queries, identity_ids, prepared,
+                                         fixed_shape, results, total)
+
         # fixed shape only pays off when flushes are large: padding a
         # toy batch to H_CAP_FIXED would turn a 1k-element sort into a
         # 2M-element one. Small workloads take the bucketed path.
@@ -805,6 +868,72 @@ class DevicePrefilter:
                 "generators": generators, "prepared": prepared,
                 "fixed_shape": fixed_shape, "results": results,
                 "big": big, "small": small, "n_q": n_q, "c_cap": c_cap}
+
+    def _get_d_submat(self):
+        d = getattr(self, "_d_submat", None)
+        if d is None:
+            d = self._d_submat = jnp.asarray(
+                self.ungapped.sub_matrix.astype(np.int32))
+        return d
+
+    def _match_pre_async(self, queries, identity_ids, prepared,
+                         fixed_shape, results, total):
+        """Dispatch a host-expanded flush (see _device_match_pre)."""
+        B = len(queries)
+        qlens = [len(q) for q in queries]
+        nt = self.n_targets
+        use_fixed = (fixed_shape and B <= self.B_PAD
+                     and (1 << 16) < total <= self.H_CAP_FIXED)
+        n_q = self.B_PAD if use_fixed else B
+        h_cap = self.H_CAP_FIXED if use_fixed \
+            else _bucket(max(total, 1), 4096)
+        if h_cap > self.H_CAP_MAX:
+            if B == 1:
+                if self.host_fallback is None:
+                    raise MemoryError(
+                        f"query hit volume {total} exceeds device capacity")
+                return {"done": [self.host_fallback.match(
+                    queries[0], identity_ids[0], diagonal_scoring=True)]}
+            return {"done": self._split_batch(queries, identity_ids, None,
+                                              None, prepared, fixed_shape)}
+        c_cap = self.C_CAP_FIXED if use_fixed else h_cap
+        lq_max = _bucket(max(qlens), 64)
+        if use_fixed:
+            lq_max = max(lq_max, 512)
+        ln_max = _bucket(min(lq_max, self.max_t_len), 64)
+        qtid = np.full(h_cap, I32_MAX, np.int32)
+        diag = np.zeros(h_cap, np.uint16)
+        off = 0
+        for b, p in enumerate(prepared):
+            n = len(p[5])
+            qtid[off:off + n] = p[5] + np.int32(b * nt)
+            diag[off:off + n] = p[6]
+            off += n
+        q_pad = np.full((n_q, lq_max), self.x_index, np.uint8)
+        corr = np.zeros((n_q, lq_max), np.int8)
+        for b, q in enumerate(queries):
+            L = qlens[b]
+            q_pad[b, :L] = q
+            corr[b, :L] = prepared[b][4]
+        qlens_pad = np.ones(n_q, np.int32)
+        qlens_pad[:B] = qlens
+        idents = np.full(n_q, -1, np.int32)
+        idents[:B] = identity_ids
+        out_sz = _bucket(n_q * self.max_hits, 256)
+        big, small = _aot(
+            _device_match_pre, "mp",
+            (jnp.asarray(qtid), jnp.asarray(diag),
+             self.d_t_cat, self.d_t_offsets, self.d_t_lens,
+             jnp.asarray(q_pad), jnp.asarray(corr), self._get_d_submat(),
+             jnp.asarray(qlens_pad), jnp.asarray(idents)),
+            c_cap=c_cap, n_q=n_q, lq_max=lq_max, ln_max=ln_max,
+            max_hits=self.max_hits, min_diag_thr=self.min_diag_thr,
+            chunk=min(4096, c_cap), out_sz=out_sz, nt=nt)
+        return {"queries": queries, "identity_ids": identity_ids,
+                "rescore_profiles": None, "generators": None,
+                "prepared": prepared, "fixed_shape": fixed_shape,
+                "results": results, "big": big, "small": small,
+                "n_q": n_q, "c_cap": c_cap}
 
     def match_batch_wait(self, pend):
         """Fetch + post-process a match_batch_async dispatch."""

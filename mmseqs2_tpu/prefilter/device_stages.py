@@ -161,6 +161,68 @@ def stage_zero(q_pad, qlens, thr_win, tables, offsets32,
     return starts, counts, qpos, qid, jnp.stack(level_totals)
 
 
+def _sort_dup_packed(qtid, diag, nt):
+    """Packed-key sort + double-diagonal detection (see stage_candidates).
+    qtid: (H,) i32 qid*nt+id keys, I32_MAX for invalid; diag: (H,) i32.
+    Returns (qtid, diag, valid, hqid, ids, cand) in sorted order."""
+    qtid, diag = jax.lax.sort((qtid, diag), num_keys=1, is_stable=True)
+    valid = qtid != I32_MAX
+    hqid = jnp.where(valid, qtid // np.int32(nt), I32_MAX)
+    ids = jnp.where(valid, qtid % np.int32(nt), I32_MAX)
+    d8 = diag & 0xFF
+    first_of_id = qtid != _shift1(qtid, -1)
+    dup = jnp.where(first_of_id, d8 == 0, d8 == _shift1(d8, 0)) & valid
+    # "last dup wins" scan over 2 packed i32s: (dup<<8|d8, qtid)
+    fd = jnp.where(dup, 256, 0) | d8
+
+    def combine(a, b):
+        af, aq = a
+        bf, bq = b
+        take_b = bf >= 256
+        return (jnp.where(take_b, bf, af), jnp.where(take_b, bq, aq))
+
+    pf, pq = jax.lax.associative_scan(combine, (fd, qtid))
+    pf = _shift1(pf, 0)
+    pq = _shift1(pq, -1)
+    run_dup = (pf >= 256) & ((pf & 0xFF) == d8) & (pq == qtid)
+    cand = dup & ~run_dup
+    return qtid, diag, valid, hqid, ids, cand
+
+
+def _compact_candidates(cand, hqid, ids, diag, *, c_cap):
+    """Front-compact candidate triples into fixed c_cap slots."""
+    n_cand = jnp.sum(cand.astype(jnp.int32))
+    pos = fast_cumsum(cand.astype(jnp.int32)) - 1
+    wpos = jnp.where(cand & (pos < c_cap), pos, c_cap)
+    cqid = jnp.full(c_cap + 1, I32_MAX, jnp.int32).at[wpos].set(
+        hqid, mode="drop")[:c_cap]
+    cid = jnp.full(c_cap + 1, I32_MAX, jnp.int32).at[wpos].set(
+        ids, mode="drop")[:c_cap]
+    cdiag = jnp.zeros(c_cap + 1, jnp.int32).at[wpos].set(
+        diag, mode="drop")[:c_cap]
+    cvalid = jnp.arange(c_cap) < jnp.minimum(n_cand, c_cap)
+    return cqid, cid, cdiag, cvalid, n_cand
+
+
+def stage_candidates_pre(qtid, diag, *, c_cap, nt):
+    """stage_candidates with the posting expansion done HOST-side.
+
+    The expansion (starts[trip]+within / entries gathers) is contiguous-run
+    structured, which numpy does at memcpy speed in the prep thread pool,
+    while XLA pays ~20 ns per random-gather element — measured 207 ms of a
+    285 ms stage_candidates at h_cap=2M. Inputs are the packed qid*nt+id
+    key (I32_MAX padding) and u16 diagonal per expansion; the device picks
+    up at the sort. Semantically identical to stage_candidates' packed
+    branch (same sort, dup-detect scan, compaction)."""
+    valid0 = qtid != I32_MAX
+    total = jnp.sum(valid0.astype(jnp.int32))
+    qtid, diag, valid, hqid, ids, cand = _sort_dup_packed(
+        qtid, diag.astype(jnp.int32), nt)
+    cqid, cid, cdiag, cvalid, n_cand = _compact_candidates(
+        cand, hqid, ids, diag, c_cap=c_cap)
+    return cqid, cid, cdiag, cvalid, n_cand, total
+
+
 def stage_candidates(starts, counts, qpos, qid, entries_seq, entries_pos,
                      *, h_cap, c_cap, nt=None):
     """Posting expansion + (qid,id) sort + double-diagonal detection +
@@ -186,27 +248,7 @@ def stage_candidates(starts, counts, qpos, qid, entries_seq, entries_pos,
     # bounds via the static nt (B <= 128 in the flush loop)
     if nt is not None and nt > 0:
         qtid = jnp.where(valid, hqid * np.int32(nt) + ids, I32_MAX)
-        qtid, diag = jax.lax.sort((qtid, diag), num_keys=1, is_stable=True)
-        valid = qtid != I32_MAX
-        hqid = jnp.where(valid, qtid // np.int32(nt), I32_MAX)
-        ids = jnp.where(valid, qtid % np.int32(nt), I32_MAX)
-        d8 = diag & 0xFF
-        first_of_id = qtid != _shift1(qtid, -1)
-        dup = jnp.where(first_of_id, d8 == 0, d8 == _shift1(d8, 0)) & valid
-        # "last dup wins" scan over 2 packed i32s: (dup<<8|d8, qtid)
-        fd = jnp.where(dup, 256, 0) | d8
-
-        def combine(a, b):
-            af, aq = a
-            bf, bq = b
-            take_b = bf >= 256
-            return (jnp.where(take_b, bf, af), jnp.where(take_b, bq, aq))
-
-        pf, pq = jax.lax.associative_scan(combine, (fd, qtid))
-        pf = _shift1(pf, 0)
-        pq = _shift1(pq, -1)
-        run_dup = (pf >= 256) & ((pf & 0xFF) == d8) & (pq == qtid)
-        cand = dup & ~run_dup
+        qtid, diag, valid, hqid, ids, cand = _sort_dup_packed(qtid, diag, nt)
     else:
         ids = jnp.where(valid, ids, I32_MAX)
         hqid = jnp.where(valid, hqid, I32_MAX)
@@ -238,27 +280,31 @@ def stage_candidates(starts, counts, qpos, qid, entries_seq, entries_pos,
         cand = dup & ~run_dup
 
     # -- compaction
-    n_cand = jnp.sum(cand.astype(jnp.int32))
-    pos = fast_cumsum(cand.astype(jnp.int32)) - 1
-    wpos = jnp.where(cand & (pos < c_cap), pos, c_cap)
-    cqid = jnp.full(c_cap + 1, I32_MAX, jnp.int32).at[wpos].set(
-        hqid, mode="drop")[:c_cap]
-    cid = jnp.full(c_cap + 1, I32_MAX, jnp.int32).at[wpos].set(
-        ids, mode="drop")[:c_cap]
-    cdiag = jnp.zeros(c_cap + 1, jnp.int32).at[wpos].set(
-        diag, mode="drop")[:c_cap]
-    cvalid = jnp.arange(c_cap) < jnp.minimum(n_cand, c_cap)
+    cqid, cid, cdiag, cvalid, n_cand = _compact_candidates(
+        cand, hqid, ids, diag, c_cap=c_cap)
     return cqid, cid, cdiag, cvalid, n_cand, total
 
 
-def make_rescore(t_cat, t_offsets, t_lens, prof, q_lens,
-                 *, lq_max, ln_max, chunk):
-    """Batched ungapped diagonal rescorer over (qid, id, diag) triples.
+def _ln_ladder(ln_max):
+    """Window-length branch ladder: 128, 256, ... capped at ln_max."""
+    lns = [min(128, ln_max)]
+    while lns[-1] < ln_max:
+        lns.append(min(lns[-1] * 2, ln_max))
+    return lns
 
-    Max-subarray via the cumsum/cummin prefix identity (no sequential scan).
-    """
-    prof_flat = prof.reshape(-1)
-    alpha = prof.shape[2]
+
+def _chunked_rescore(score_chunk_for, t_offsets, t_lens, q_lens,
+                     *, ln_max, chunk):
+    """Shared chunk driver for the diagonal rescorers.
+
+    Candidates are length-sorted (one extra lax.sort + inverse scatter,
+    ~10 ms at c_cap=128k) so each chunk runs a lax.switch branch whose
+    gather width matches its LONGEST window: rescore gather volume tracks
+    the actual window lengths instead of always paying ln_max (measured
+    ~3x at ln_max=1024 with ~350-residue targets). score_chunk_for(ln)
+    returns the (qid_k, qs_k, base_k, n_k) -> (chunk,) scorer for width
+    ln."""
+    lns = _ln_ladder(ln_max)
 
     def rescore(qid_c, id_c, diag_c, valid_c, cap, n_valid=None):
         """n_valid: traced count of front-compacted valid entries; chunks
@@ -272,9 +318,65 @@ def make_rescore(t_cat, t_offsets, t_lens, prof, q_lens,
         n = jnp.where(valid_c, jnp.maximum(n, 0), 0)
         base = t_offsets[id_s] + ts
 
+        C = qid_s.shape[0]
+        gidx = jnp.arange(C, dtype=jnp.int32)
+        if len(lns) > 1:
+            # length-sort; invalids keyed I32_MAX so they stay at the
+            # back and the n_valid chunk skip keeps working
+            key = jnp.where(valid_c, n, I32_MAX)
+            _, qid_s, qs, base, n, order = jax.lax.sort(
+                (key, qid_s, qs, base, n, gidx), num_keys=1)
+        else:
+            order = gidx
+
+        branches = [score_chunk_for(ln) for ln in lns]
+        lns_arr = jnp.asarray(lns, jnp.int32)
+
+        def chunk_fn(args):
+            if len(lns) == 1:
+                return branches[0](args)
+            mx = jnp.max(args[3])
+            return jax.lax.switch(
+                jnp.searchsorted(lns_arr, mx), branches, args)
+
+        nchunk = -(-C // chunk)
+        padded = [jnp.pad(x, (0, nchunk * chunk - C))
+                  for x in (qid_s, qs, base, n)]
+        stacked = [x.reshape(nchunk, chunk) for x in padded]
+        if n_valid is None:
+            sc = jax.lax.map(chunk_fn, tuple(stacked)).reshape(-1)[:C]
+        else:
+            n_act = jnp.minimum((n_valid + chunk - 1) // chunk, nchunk)
+
+            def body(i, out):
+                row = chunk_fn(tuple(x[i] for x in stacked))
+                return jax.lax.dynamic_update_index_in_dim(out, row, i, 0)
+
+            sc = jax.lax.fori_loop(
+                0, n_act, body,
+                jnp.zeros((nchunk, chunk), jnp.int32)).reshape(-1)[:C]
+        if len(lns) > 1:
+            sc = jnp.zeros(C, sc.dtype).at[order].set(sc)   # unsort
+        if cap:
+            sc = jnp.minimum(sc, UCHAR_MAX)
+        return jnp.where(valid_c, jnp.maximum(sc, 0), 0)
+
+    return rescore
+
+
+def make_rescore(t_cat, t_offsets, t_lens, prof, q_lens,
+                 *, lq_max, ln_max, chunk):
+    """Batched ungapped diagonal rescorer over (qid, id, diag) triples.
+
+    Max-subarray via the cumsum/cummin prefix identity (no sequential scan).
+    """
+    prof_flat = prof.reshape(-1)
+    alpha = prof.shape[2]
+
+    def score_chunk_for(ln):
         def score_chunk(args):
             qid_k, qs_k, base_k, n_k = args
-            l = jnp.arange(ln_max, dtype=jnp.int32)[None, :]
+            l = jnp.arange(ln, dtype=jnp.int32)[None, :]
             active = l < n_k[:, None]
             tc = t_cat[jnp.where(active, base_k[:, None] + l, 0)].astype(
                 jnp.int32)                       # i8 packed residues
@@ -288,29 +390,10 @@ def make_rescore(t_cat, t_offsets, t_lens, prof, q_lens,
                      jax.lax.cummin(cums, axis=1)[:, :-1]], axis=1))
             run = jnp.where(active, cums - minpre, 0)
             return jnp.max(run, axis=1)
+        return score_chunk
 
-        C = qid_s.shape[0]
-        nchunk = -(-C // chunk)
-        padded = [jnp.pad(x, (0, nchunk * chunk - C))
-                  for x in (qid_s, qs, base, n)]
-        stacked = [x.reshape(nchunk, chunk) for x in padded]
-        if n_valid is None:
-            sc = jax.lax.map(score_chunk, tuple(stacked)).reshape(-1)[:C]
-        else:
-            n_act = jnp.minimum((n_valid + chunk - 1) // chunk, nchunk)
-
-            def body(i, out):
-                row = score_chunk(tuple(x[i] for x in stacked))
-                return jax.lax.dynamic_update_index_in_dim(out, row, i, 0)
-
-            sc = jax.lax.fori_loop(
-                0, n_act, body,
-                jnp.zeros((nchunk, chunk), jnp.int32)).reshape(-1)[:C]
-        if cap:
-            sc = jnp.minimum(sc, UCHAR_MAX)
-        return jnp.where(valid_c, jnp.maximum(sc, 0), 0)
-
-    return rescore
+    return _chunked_rescore(score_chunk_for, t_offsets, t_lens, q_lens,
+                            ln_max=ln_max, chunk=chunk)
 
 
 def make_rescore_from_letters(t_cat, t_offsets, t_lens, q_pad, corr,
@@ -324,19 +407,10 @@ def make_rescore_from_letters(t_cat, t_offsets, t_lens, q_pad, corr,
     q_flat = q_pad.reshape(-1)
     corr_flat = corr.reshape(-1)
 
-    def rescore(qid_c, id_c, diag_c, valid_c, cap, n_valid=None):
-        qid_s = jnp.where(valid_c, qid_c, 0)
-        id_s = jnp.where(valid_c, id_c, 0)
-        d = ((diag_c + 0x8000) & 0xFFFF) - 0x8000
-        qs = jnp.maximum(d, 0)
-        ts = jnp.maximum(-d, 0)
-        n = jnp.minimum(t_lens[id_s] - ts, q_lens[qid_s] - qs)
-        n = jnp.where(valid_c, jnp.maximum(n, 0), 0)
-        base = t_offsets[id_s] + ts
-
+    def score_chunk_for(ln):
         def score_chunk(args):
             qid_k, qs_k, base_k, n_k = args
-            l = jnp.arange(ln_max, dtype=jnp.int32)[None, :]
+            l = jnp.arange(ln, dtype=jnp.int32)[None, :]
             active = l < n_k[:, None]
             tc = t_cat[jnp.where(active, base_k[:, None] + l, 0)].astype(
                 jnp.int32)
@@ -352,29 +426,10 @@ def make_rescore_from_letters(t_cat, t_offsets, t_lens, q_pad, corr,
                      jax.lax.cummin(cums, axis=1)[:, :-1]], axis=1))
             run = jnp.where(active, cums - minpre, 0)
             return jnp.max(run, axis=1)
+        return score_chunk
 
-        C = qid_s.shape[0]
-        nchunk = -(-C // chunk)
-        padded = [jnp.pad(x, (0, nchunk * chunk - C))
-                  for x in (qid_s, qs, base, n)]
-        stacked = [x.reshape(nchunk, chunk) for x in padded]
-        if n_valid is None:
-            sc = jax.lax.map(score_chunk, tuple(stacked)).reshape(-1)[:C]
-        else:
-            n_act = jnp.minimum((n_valid + chunk - 1) // chunk, nchunk)
-
-            def body(i, out):
-                row = score_chunk(tuple(x[i] for x in stacked))
-                return jax.lax.dynamic_update_index_in_dim(out, row, i, 0)
-
-            sc = jax.lax.fori_loop(
-                0, n_act, body,
-                jnp.zeros((nchunk, chunk), jnp.int32)).reshape(-1)[:C]
-        if cap:
-            sc = jnp.minimum(sc, UCHAR_MAX)
-        return jnp.where(valid_c, jnp.maximum(sc, 0), 0)
-
-    return rescore
+    return _chunked_rescore(score_chunk_for, t_offsets, t_lens, q_lens,
+                            ln_max=ln_max, chunk=chunk)
 
 
 def stage_keepmax(cqid, cid, cscore, cvalid, *, c_cap):

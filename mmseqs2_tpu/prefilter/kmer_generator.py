@@ -80,6 +80,20 @@ class SubKmerScores:
         base = os.path.join(loc, f"subk{self.k}_{key}")
         names = ("scores", "idx", "cnt")
         try:
+            # reap orphaned tmp files (a process that died between np.save
+            # and os.replace, incl. old .npy.tmp{pid}.npy-era names); >1 h
+            # old means no live writer can still be racing us
+            import glob
+            import time
+            for stale in glob.glob(os.path.join(loc, "subk*.tmp*")):
+                try:
+                    if time.time() - os.path.getmtime(stale) > 3600:
+                        os.unlink(stale)
+                except OSError:
+                    pass
+        except Exception:
+            pass
+        try:
             if all(os.path.exists(f"{base}.{n}.npy") for n in names):
                 self._scores = np.load(f"{base}.scores.npy", mmap_mode="r")
                 self._idx = np.load(f"{base}.idx.npy", mmap_mode="r")
