@@ -217,7 +217,10 @@ class Aligner:
     # -- multi-query fixed-shape scan (TPU) -----------------------------------
 
     MULTI_NQ = 16          # query profiles stacked per kernel call
-    MULTI_LANES = 4096     # target lanes per kernel call (8 x BT blocks)
+    MULTI_LANES = 16384    # target lanes per kernel call (32 x BT blocks;
+                           # underfull chunks only pad to the lane bucket,
+                           # so big chunks cost nothing when groups are
+                           # small but quarter the dispatch count at scale)
 
     def _multi_scan(self, entries):
         """Scan (query, target) pairs through the multi-query Pallas kernel.
@@ -269,14 +272,18 @@ class Aligner:
                 lanes_used = lane
                 pf = np.full((NQ * ALPHA_PAD, lqb), -(1 << 20), np.int32)
                 pf[: len(profs) * ALPHA_PAD] = np.concatenate(profs, axis=0)
+                import jax.numpy as jnp
                 out = sw_pallas_multi(pf, tb[:, :_lane_pad(lanes_used)],
                                       qsel[:_lane_pad(lanes_used)],
                                       qoff=qoffs[:_lane_pad(lanes_used)],
                                       go=self.go, ge=self.ge)
-                pending.append((refs, out))
+                # ONE stacked D2H fetch per chunk: each read through the
+                # runtime tunnel pays ~25 ms latency, and three per chunk
+                # dominated the align stage at 500k-target scale
+                pending.append((refs, jnp.stack(out)))
         result = {}
-        for refs, (s, qe, te) in pending:
-            s, qe, te = np.asarray(s), np.asarray(qe), np.asarray(te)
+        for refs, out in pending:
+            s, qe, te = np.asarray(out)
             for lane, ref in enumerate(refs):
                 result[ref] = (int(s[lane]), int(qe[lane]), int(te[lane]))
         return result

@@ -141,7 +141,8 @@ def align(par, command):
                       else dbt.DBTYPE_ALIGNMENT_RES)
     total_passed = 0
     aln_num = 0
-    BLOCK = 128     # queries per align_batch (one scan per shape group)
+    BLOCK = 256     # queries per align_batch (one scan per shape group;
+                    # bigger blocks fill the 16k-lane kernel chunks better)
     pid = 0
     while pid < prefdb.size:
         block = []

@@ -110,20 +110,24 @@ def _device_match(starts, counts, qpos, qid,          # (K,) triples
 @functools.partial(
     jax.jit,
     static_argnames=("c_cap", "n_q", "lq_max", "ln_max",
-                     "max_hits", "min_diag_thr", "chunk", "out_sz", "nt"))
+                     "max_hits", "min_diag_thr", "chunk", "out_sz", "tb"))
 def _device_match_pre(qtid, diag,                     # (H,) expansions
                       t_cat, t_offsets, t_lens,       # target store
                       q_pad, corr, submat, q_lens, identity,
                       *, c_cap, n_q, lq_max, ln_max, max_hits,
-                      min_diag_thr, chunk, out_sz, nt):
+                      min_diag_thr, chunk, out_sz, tb):
     """Match program for HOST-expanded flushes: the posting expansion
     (contiguous-run numpy gathers, done in the prep thread pool) ships as
-    packed (qid*nt+id, u16 diag) pairs; the device starts at the sort and
-    rescores from query letters + bias correction (no profile transfer).
-    Replaces _device_match for plain sequence queries — the XLA random
-    gathers of the on-device expansion were ~70% of stage_candidates."""
+    shift-packed (qid<<tb|id, u16 diag) pairs; the device starts at the
+    sort and rescores from query letters + bias correction (no profile
+    transfer). Replaces _device_match for plain sequence queries — the
+    XLA random gathers of the on-device expansion were ~70% of
+    stage_candidates. `tb` is the id bit width, NOT the target count:
+    one executable serves every DB size in the same 2^tb bucket (the
+    2M-wide packed sort costs ~4 min of XLA compile per set of statics,
+    AOT-cached thereafter)."""
     cqid, cid, cdiag, cvalid, n_cand, total = stage_candidates_pre(
-        qtid, diag, c_cap=c_cap, nt=nt)
+        qtid, diag, c_cap=c_cap, tb=tb)
     # materialize the per-query rescore profile ON DEVICE (one row-gather
     # from the 32x32 submat + the bias-correction broadcast): the rescore
     # then pays 2 gathers/cell like the profile path — the letters-based
@@ -201,6 +205,12 @@ def _aot(fn_jit, name, args, **static):
 
 _SRC_HASH = source_hash(__file__)
 _TABLE_CACHE = {}
+
+
+def _pow2(n: int) -> int:
+    """Next power of two >= n (shape-bucket helper; each distinct static
+    shape keys a minutes-long XLA compile of the match program)."""
+    return 1 << max(int(n) - 1, 0).bit_length()
 
 
 def _build_table_device(sub_matrix, alpha, k):
@@ -356,17 +366,27 @@ class DevicePrefilter:
             return
         t_offsets = np.concatenate([[0], np.cumsum(t_lens)]).astype(np.int32)
         # packed device layout (IndexTable.h:25-30 parity: 6 B/entry —
-        # u32 seq id + u16 position — and 1 B/residue sequence store)
+        # u32 seq id + u16 position — and 1 B/residue sequence store).
+        # Upload the mmapped index views AS-IS (dtype-converting copies of
+        # the 152M-entry SwissProt-scale arrays cost ~15 s host time; every
+        # device gather into them is in-bounds by construction, so no pad
+        # slot is needed — XLA clamps OOB gathers anyway)
         if hasattr(seqs, "cat"):
-            t_cat = seqs.cat.astype(np.int8)
+            t_cat = seqs.cat.view(np.int8)       # residues < 128: free view
         else:
             t_cat = (np.concatenate(seqs) if len(seqs) else
-                     np.zeros(0, np.uint8)).astype(np.int8)
-        self.d_entries_seq = jnp.asarray(np.append(
-            index_table.entries_seq, 0).astype(np.int32))
-        self.d_entries_pos = jnp.asarray(np.append(
-            index_table.entries_pos, 0).astype(np.uint16))
-        self.d_t_cat = jnp.asarray(np.append(t_cat, 0).astype(np.int8))
+                     np.zeros(0, np.uint8)).astype(np.int8, copy=False)
+        eseq = np.asarray(index_table.entries_seq)
+        epos = np.asarray(index_table.entries_pos)
+        if len(eseq) == 0:
+            eseq, epos = np.zeros(1, np.int32), np.zeros(1, np.uint16)
+        if len(t_cat) == 0:
+            t_cat = np.zeros(1, np.int8)
+        self.d_entries_seq = jnp.asarray(
+            eseq.astype(np.int32, copy=False))
+        self.d_entries_pos = jnp.asarray(
+            epos.astype(np.uint16, copy=False))
+        self.d_t_cat = jnp.asarray(t_cat)
         self.d_t_offsets = jnp.asarray(t_offsets[:-1] if len(seqs)
                                        else np.zeros(1, np.int32))
         self.d_t_lens = jnp.asarray(t_lens)
@@ -449,9 +469,10 @@ class DevicePrefilter:
                                               dtype=np.int64)])
         within = np.arange(total, dtype=np.int64) - offs[trip]
         ent = starts[trip].astype(np.int64) + within
-        ids = np.asarray(self.index.entries_seq)[ent].astype(np.int32)
-        tpos = np.asarray(self.index.entries_pos)[ent].astype(np.int32)
-        diag = ((qpos[trip].astype(np.int32) - tpos)
+        ids = np.asarray(self.index.entries_seq)[ent].astype(np.int32,
+                                                            copy=False)
+        tpos = np.asarray(self.index.entries_pos)[ent]   # u16; upcasts
+        diag = ((qpos[trip].astype(np.int32, copy=False) - tpos)
                 & 0xFFFF).astype(np.uint16)
         return ids, diag
 
@@ -542,9 +563,12 @@ class DevicePrefilter:
 
     # fixed-shape flush geometry: _run_device batches queries so every
     # device call compiles to the SAME program (one executable per
-    # process, vs one per power-of-two hit-volume bucket). Chosen so
-    # B_PAD*max(nt) stays < 2^31 for the packed candidate sort.
-    B_PAD = 64
+    # process, vs one per power-of-two hit-volume bucket). B_PAD*2^tb must
+    # stay < 2^31 for the shift-packed candidate sort (nt up to ~8M
+    # targets at B_PAD=128; bigger DBs take the unpacked path /
+    # auto-split). H_CAP stays at 2M: the packed sort's XLA compile time
+    # is superlinear in width (~4 min at 2^21, >35 min at 2^22).
+    B_PAD = 128
     H_CAP_FIXED = 1 << 21
     C_CAP_FIXED = 1 << 17
 
@@ -789,10 +813,10 @@ class DevicePrefilter:
 
         # plain sequence queries whose prep carries the host expansion
         # take the pre-expanded program (device starts at the sort; no
-        # profile transfer) whenever the packed qid*nt+id key fits i32
+        # profile transfer) whenever the packed qid<<tb|id key fits i32
         if (rescore_profiles is None and generators is None
                 and all(len(p) >= 7 for p in prepared)
-                and max(B, self.B_PAD) * self.n_targets < (1 << 31)):
+                and max(B, self.B_PAD) << self._tb() < (1 << 31)):
             return self._match_pre_async(queries, identity_ids, prepared,
                                          fixed_shape, results, total)
 
@@ -876,12 +900,18 @@ class DevicePrefilter:
                 self.ungapped.sub_matrix.astype(np.int32))
         return d
 
+    def _tb(self):
+        """Bit width of the target-id field in the shift-packed sort key,
+        bucketed to even widths so one compiled program serves a whole
+        range of DB sizes (the static is tb, not nt)."""
+        b = max(int(self.n_targets - 1).bit_length(), 1)
+        return (b + 1) & ~1          # round up to even: <=2 buckets/4x
+
     def _match_pre_async(self, queries, identity_ids, prepared,
                          fixed_shape, results, total):
         """Dispatch a host-expanded flush (see _device_match_pre)."""
         B = len(queries)
         qlens = [len(q) for q in queries]
-        nt = self.n_targets
         use_fixed = (fixed_shape and B <= self.B_PAD
                      and (1 << 16) < total <= self.H_CAP_FIXED)
         n_q = self.B_PAD if use_fixed else B
@@ -897,16 +927,17 @@ class DevicePrefilter:
             return {"done": self._split_batch(queries, identity_ids, None,
                                               None, prepared, fixed_shape)}
         c_cap = self.C_CAP_FIXED if use_fixed else h_cap
-        lq_max = _bucket(max(qlens), 64)
-        if use_fixed:
-            lq_max = max(lq_max, 512)
-        ln_max = _bucket(min(lq_max, self.max_t_len), 64)
+        # power-of-two shape buckets: every static here keys a compiled
+        # program (~4 min XLA compile each), so keep the bucket set tiny
+        lq_max = max(_pow2(max(qlens)), 512)
+        ln_max = _pow2(max(min(lq_max, self.max_t_len), 128))
+        tb = self._tb()
         qtid = np.full(h_cap, I32_MAX, np.int32)
         diag = np.zeros(h_cap, np.uint16)
         off = 0
         for b, p in enumerate(prepared):
             n = len(p[5])
-            qtid[off:off + n] = p[5] + np.int32(b * nt)
+            qtid[off:off + n] = p[5] + np.int32(b << tb)
             diag[off:off + n] = p[6]
             off += n
         q_pad = np.full((n_q, lq_max), self.x_index, np.uint8)
@@ -928,7 +959,7 @@ class DevicePrefilter:
              jnp.asarray(qlens_pad), jnp.asarray(idents)),
             c_cap=c_cap, n_q=n_q, lq_max=lq_max, ln_max=ln_max,
             max_hits=self.max_hits, min_diag_thr=self.min_diag_thr,
-            chunk=min(4096, c_cap), out_sz=out_sz, nt=nt)
+            chunk=min(4096, c_cap), out_sz=out_sz, tb=tb)
         return {"queries": queries, "identity_ids": identity_ids,
                 "rescore_profiles": None, "generators": None,
                 "prepared": prepared, "fixed_shape": fixed_shape,

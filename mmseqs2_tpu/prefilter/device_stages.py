@@ -161,14 +161,23 @@ def stage_zero(q_pad, qlens, thr_win, tables, offsets32,
     return starts, counts, qpos, qid, jnp.stack(level_totals)
 
 
-def _sort_dup_packed(qtid, diag, nt):
+def _sort_dup_packed(qtid, diag, nt, tb=None):
     """Packed-key sort + double-diagonal detection (see stage_candidates).
-    qtid: (H,) i32 qid*nt+id keys, I32_MAX for invalid; diag: (H,) i32.
+    qtid: (H,) i32 packed keys, I32_MAX for invalid; diag: (H,) i32.
+    Packing is `qid*nt+id` when `tb` is None (legacy in-program packing),
+    else `qid<<tb | id` — the shift form keeps the target count OUT of
+    the compiled program's statics, so one executable serves every DB
+    whose (nt-1).bit_length() rounds to the same tb bucket instead of
+    paying a multi-minute XLA sort compile per DB size.
     Returns (qtid, diag, valid, hqid, ids, cand) in sorted order."""
     qtid, diag = jax.lax.sort((qtid, diag), num_keys=1, is_stable=True)
     valid = qtid != I32_MAX
-    hqid = jnp.where(valid, qtid // np.int32(nt), I32_MAX)
-    ids = jnp.where(valid, qtid % np.int32(nt), I32_MAX)
+    if tb is None:
+        hqid = jnp.where(valid, qtid // np.int32(nt), I32_MAX)
+        ids = jnp.where(valid, qtid % np.int32(nt), I32_MAX)
+    else:
+        hqid = jnp.where(valid, qtid >> tb, I32_MAX)
+        ids = jnp.where(valid, qtid & np.int32((1 << tb) - 1), I32_MAX)
     d8 = diag & 0xFF
     first_of_id = qtid != _shift1(qtid, -1)
     dup = jnp.where(first_of_id, d8 == 0, d8 == _shift1(d8, 0)) & valid
@@ -204,20 +213,21 @@ def _compact_candidates(cand, hqid, ids, diag, *, c_cap):
     return cqid, cid, cdiag, cvalid, n_cand
 
 
-def stage_candidates_pre(qtid, diag, *, c_cap, nt):
+def stage_candidates_pre(qtid, diag, *, c_cap, tb):
     """stage_candidates with the posting expansion done HOST-side.
 
     The expansion (starts[trip]+within / entries gathers) is contiguous-run
     structured, which numpy does at memcpy speed in the prep thread pool,
     while XLA pays ~20 ns per random-gather element — measured 207 ms of a
-    285 ms stage_candidates at h_cap=2M. Inputs are the packed qid*nt+id
-    key (I32_MAX padding) and u16 diagonal per expansion; the device picks
-    up at the sort. Semantically identical to stage_candidates' packed
-    branch (same sort, dup-detect scan, compaction)."""
+    285 ms stage_candidates at h_cap=2M. Inputs are the shift-packed
+    qid<<tb|id key (I32_MAX padding) and u16 diagonal per expansion; the
+    device picks up at the sort. Semantically identical to
+    stage_candidates' packed branch (same sort, dup-detect scan,
+    compaction)."""
     valid0 = qtid != I32_MAX
     total = jnp.sum(valid0.astype(jnp.int32))
     qtid, diag, valid, hqid, ids, cand = _sort_dup_packed(
-        qtid, diag.astype(jnp.int32), nt)
+        qtid, diag.astype(jnp.int32), None, tb=tb)
     cqid, cid, cdiag, cvalid, n_cand = _compact_candidates(
         cand, hqid, ids, diag, c_cap=c_cap)
     return cqid, cid, cdiag, cvalid, n_cand, total

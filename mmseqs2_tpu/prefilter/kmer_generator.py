@@ -356,11 +356,19 @@ def _expand_batch(steps, thr: np.ndarray, max_result: int,
 def _expand_batch_once(steps, thr, max_result, budget):
     n = len(steps)
     W = len(thr)
-    empty = (np.zeros(0, np.int64), np.zeros(0, np.int64))
+    # the hot intermediates run in i32 (half the memory traffic of the
+    # old i64 path — this loop gathers millions of elements per query):
+    # scores/cutoffs are tiny, rep/jj are bounded by `budget` < 2^31, and
+    # k-mer codes fit i32 for every real alphabet/k (21^7 < 2^31); fall
+    # back to i64 codes if a config ever exceeds it
+    code_bound = sum(int(s[3]) * (s[0].shape[1] - 1) for s in steps) + 1
+    idt = np.int32 if code_bound < (1 << 31) else np.int64
+    empty = (np.zeros(0, idt), np.zeros(0, np.int64))
     if W == 0:
         return empty
-    highest = [s[0][s[2], 0].astype(np.int64) for s in steps]
-    rest = [np.zeros(W, np.int64) for _ in range(n)]
+    thr = np.asarray(thr, np.int32)
+    highest = [s[0][s[2], 0].astype(np.int32) for s in steps]
+    rest = [np.zeros(W, np.int32) for _ in range(n)]
     for i in range(n - 1, 0, -1):
         rest[i - 1] = highest[i] + rest[i]
 
@@ -373,8 +381,8 @@ def _expand_batch_once(steps, thr, max_result, budget):
     starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
     j = np.arange(total, dtype=np.int64) - np.repeat(starts, cnt)
     r = rows0[win_of]
-    cur_scores = scores0[r, j].astype(np.int64)
-    cur_index = idx0[r, j].astype(np.int64) * mult0
+    cur_scores = scores0[r, j].astype(np.int32)
+    cur_index = idx0[r, j].astype(idt, copy=False) * idt(mult0)
 
     for si in range(1, n):
         scores_s, idx_s, rows_s, mult, count_s = steps[si]
@@ -395,12 +403,14 @@ def _expand_batch_once(steps, thr, max_result, budget):
             return empty
         if total2 > budget and W > 1:
             raise _TooBig
-        rep = np.repeat(np.arange(len(cur_scores), dtype=np.int64), cnt2)
+        rep = np.repeat(np.arange(len(cur_scores), dtype=np.int32), cnt2)
         st = np.concatenate([[0], np.cumsum(cnt2)[:-1]])
-        jj = np.arange(total2, dtype=np.int64) - np.repeat(st, cnt2)
+        jj = (np.arange(total2, dtype=np.int64)
+              - np.repeat(st, cnt2)).astype(np.int32, copy=False)
         rsr = rs[rep]
-        cur_scores = cur_scores[rep] + scores_s[rsr, jj].astype(np.int64)
-        cur_index = cur_index[rep] + idx_s[rsr, jj].astype(np.int64) * mult
+        cur_scores = cur_scores[rep] + scores_s[rsr, jj].astype(np.int32)
+        cur_index = cur_index[rep] + idx_s[rsr, jj].astype(
+            idt, copy=False) * idt(mult)
         win_of = win_of[rep]
         cnt = np.bincount(win_of, minlength=W)
     return cur_index, win_of
