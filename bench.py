@@ -40,7 +40,7 @@ def bench_async(fn, args, cells, iters=30, warmup=2, trials=3):
 
 
 
-def _bench_kmer_prefilter(rng, n_targets=10000, t_len=350, n_queries=16):
+def _bench_kmer_prefilter(rng, n_targets=10000, t_len=350, n_queries=64):
     """Device k-mer prefilter throughput: k-mer match expansions/s against
     the cached BASELINE-shaped 50k-target index when present (realistic
     posting-list density), else a synthetic random index (much sparser —

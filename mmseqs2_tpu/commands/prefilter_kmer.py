@@ -370,6 +370,10 @@ def _run_device(par, qreader, treader, qdb, dev, matcher, query_is_profile,
     ranks), rank 0 writes the result DB (all ranks hold identical merged
     output — the analogue of the reference's MPI master merge)."""
     import jax
+    import time as _time
+    _prof = os.environ.get("MMSEQS2_TPU_PROF", "") == "1"
+    _t = {"wait": 0.0, "dispatch": 0.0, "write": 0.0, "prep": 0.0,
+          "flushes": 0}
     is_writer = jax.process_count() == 1 or jax.process_index() == 0
     writer = (DBWriter(out_path, dbt.DBTYPE_PREFILTER_RES) if is_writer
               else None)
@@ -394,12 +398,15 @@ def _run_device(par, qreader, treader, qdb, dev, matcher, query_is_profile,
                 kw = {"prepared": [b["prep"] for b in batch],
                       "fixed_shape": True}
             if hasattr(dev, "match_batch_async"):
+                _t0 = _time.perf_counter()
                 pend = dev.match_batch_async(
                     queries, idents,
                     rescore_profiles=(rps if any(r is not None
                                                  for r in rps) else None),
                     generators=(gens if any(g is not None for g in gens)
                                 else None), **kw)
+                _t["dispatch"] += _time.perf_counter() - _t0
+                _t["flushes"] += 1
                 pending.append((batch, pend))
             else:
                 hit_lists = dev.match_batch(
@@ -410,11 +417,18 @@ def _run_device(par, qreader, treader, qdb, dev, matcher, query_is_profile,
                                 else None), **kw)
                 _write_batch(batch, hit_lists)
             batch, budget = [], 0
-        # keep one dispatch in flight (device crunches flush N while the
-        # host preps N+1 and writes N-1)
-        while pending and (drain or len(pending) > 1):
+        # keep two dispatches in flight (device crunches flush N and has
+        # N+1 queued behind it while the host preps N+2 and writes N-1 —
+        # depth 2 hides the host build+transfer time of the next flush
+        # under the current flush's device execution)
+        while pending and (drain or len(pending) > 2):
             items, pend = pending.pop(0)
-            _write_batch(items, dev.match_batch_wait(pend))
+            _t0 = _time.perf_counter()
+            hit_lists = dev.match_batch_wait(pend)
+            _t["wait"] += _time.perf_counter() - _t0
+            _t0 = _time.perf_counter()
+            _write_batch(items, hit_lists)
+            _t["write"] += _time.perf_counter() - _t0
 
     pending0 = []                # [(items, pending-handle)], 1-deep
 
@@ -504,8 +518,10 @@ def _run_device(par, qreader, treader, qdb, dev, matcher, query_is_profile,
         with ThreadPoolExecutor(max_workers=workers) as pool:
             def prep(item):
                 if not (use_dev0 and len(item["q"]) <= dev.LQ0):
+                    _t0 = _time.perf_counter()
                     item["prep"] = dev.prepare_query(
                         item["q"], item.get("rp"), item.get("gen"))
+                    _t["prep"] += _time.perf_counter() - _t0
                 return item
             for lo in range(0, qreader.size, CHUNK):
                 hi = min(lo + CHUNK, qreader.size)
@@ -516,6 +532,10 @@ def _run_device(par, qreader, treader, qdb, dev, matcher, query_is_profile,
             consume(make_item(qid))
     flush(drain=True)
     flush0(drain=True)
+    if _prof:
+        print(f"[prof] flushes={_t['flushes']} "
+              f"dispatch={_t['dispatch']:.1f}s wait={_t['wait']:.1f}s "
+              f"write={_t['write']:.1f}s prep(worker-sum)={_t['prep']:.1f}s")
     if writer is not None:
         writer.close()
         _print_statistics(None, reslens, qreader.size, par.max_seqs)

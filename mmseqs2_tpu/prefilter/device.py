@@ -68,8 +68,14 @@ def _match_tail(rescore, cqid, cid, cdiag, cvalid, n_cand, total, identity,
     n_keep = jnp.sum(kvalid.astype(jnp.int32))
 
     # exact (uncapped) scores for saturated kept hits (getResult :430-436)
+    # — skipped entirely when nothing saturated (the common case on real
+    # queries; the pass costs ~60 ms of window gathers per flush)
     sat = kvalid & (kscore >= UCHAR_MAX)
-    exact = rescore(kqid, kid, kdiag, sat, cap=False, n_valid=n_keep)
+    n_sat = jnp.sum(sat.astype(jnp.int32))
+    exact = jax.lax.cond(
+        n_sat > 0,
+        lambda: rescore(kqid, kid, kdiag, sat, cap=False, n_valid=n_keep),
+        lambda: kscore)
     final_score = jnp.where(sat, exact, kscore)
 
     oq, _, oid, odiag, ofs, oval = stage_finalize(
