@@ -15,6 +15,27 @@ Measured on TPU v5e (batch 16384, Lq=Lt=512, best-of-3 async trials):
 score-only (round 3: tiled lazy-F closure + deferred gapless saturation;
 round 2 was 146/—/576, round 1's lane-layout kernel ~22).
 
+Round-5 ceiling study — alternatives MEASURED SLOWER than this kernel, do
+not re-attempt without new toolchain evidence (experiments/sw_v10..v13):
+  - bf16/f16/i16/i32 DP state: f16 and i16 do not compile (Mosaic:
+    reductions/elementwise unsupported), bf16 compiles except
+    pltpu.roll-on-sublanes and runs ~0.75x f32 via slice-store or concat
+    shifts (441-523 vs 575 GCUPS gapless) — the VPU does not double-pump
+    sub-32-bit elementwise through this toolchain, so dtype narrowing
+    buys nothing (sw_v8, bf16_bisect, sw_v12).
+  - sheared layout (diag dep made same-sublane, zero rolls in the inner
+    loop): 527 vs 577 GCUPS — removing the roll+select does not help
+    because the kernel is not op-count-bound (sw_v10).
+  - K-column composition (one roll per K columns against K statically
+    row-shifted profile copies in one MXU lookup, 5 -> 3.5 ops/cell at
+    K=4, exact): 546-557 vs 577 (sw_v13).
+  Ablations bound the bare 3-op relu chain at ~594 GCUPS, i.e. the
+  gapless kernel runs within ~5% of what Mosaic schedules for ANY
+  (Lq, BT)-tile column walk on this core; the gapped kernel adds the
+  lazy-F closure on top of the same floor. Further wins must come from
+  batching/overlap (dispatch pipelining, bigger batches), not the
+  per-cell instruction stream.
+
 Semantics identical to dp.sw_scan / dp.gapless_scan (cross-checked in
 tests/test_pallas.py): one query profile per call, many targets; affine
 gaps via the ramped-space lazy-F closure (a sublane cummax); end-position
